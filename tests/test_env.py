@@ -1,0 +1,172 @@
+"""Environment contract tests — functional core.
+
+Mirrors the behavioral contract of the reference suite
+(tests/test_environment.py: spaces, reset invariants, step 5-tuple,
+randomization variance, reward finiteness, termination bounds).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvc_ai_tpu.env import (
+    ACTION_DIM,
+    OBS_DIM,
+    EnvParams,
+    RandomizationConfig,
+)
+from tvc_ai_tpu.env import rocket_env
+
+
+@pytest.fixture(scope="module")
+def params():
+    return EnvParams()
+
+
+@pytest.fixture(scope="module")
+def jit_step():
+    return jax.jit(rocket_env.step)
+
+
+def test_reset_observation(params):
+    state, obs = rocket_env.reset(jax.random.PRNGKey(0), params)
+    assert obs.shape == (OBS_DIM,)
+    # unit quaternion
+    assert np.isclose(float(jnp.linalg.norm(obs[:4])), 1.0, atol=1e-5)
+    # fuel full, phase boost (0), progress 0
+    assert float(obs[7]) == 1.0
+    assert float(obs[8]) == 0.0
+    assert float(obs[9]) == 0.0
+    assert int(state.step_count) == 0
+
+
+def test_step_returns_finite(params, jit_step):
+    state, _ = rocket_env.reset(jax.random.PRNGKey(1), params)
+    action = jnp.array([0.3, -0.5])
+    state, out = jit_step(state, action, params)
+    assert out.obs.shape == (OBS_DIM,)
+    assert np.all(np.isfinite(out.obs))
+    assert np.isfinite(float(out.reward))
+    assert out.terminated.dtype == jnp.bool_
+    assert out.truncated.dtype == jnp.bool_
+
+
+def test_action_clipping(params, jit_step):
+    state, _ = rocket_env.reset(jax.random.PRNGKey(2), params)
+    s1, o1 = jit_step(state, jnp.array([5.0, -5.0]), params)
+    s2, o2 = jit_step(state, jnp.array([1.0, -1.0]), params)
+    assert np.allclose(o1.obs, o2.obs, atol=1e-6)
+
+
+def test_fuel_decreases(params, jit_step):
+    state, _ = rocket_env.reset(jax.random.PRNGKey(3), params)
+    for i in range(5):
+        state, out = jit_step(state, jnp.zeros(ACTION_DIM), params)
+    assert float(state.fuel) == pytest.approx(1.0 - 5 * 0.001, abs=1e-6)
+
+
+def test_reward_in_clip_range(params, jit_step):
+    state, _ = rocket_env.reset(jax.random.PRNGKey(4), params)
+    key = jax.random.PRNGKey(5)
+    for i in range(50):
+        key, k = jax.random.split(key)
+        action = jax.random.uniform(k, (2,), minval=-1.0, maxval=1.0)
+        state, out = jit_step(state, action, params)
+        r = float(out.reward)
+        assert -1000.0 <= r <= 200.0
+        if bool(out.terminated):
+            break
+
+
+def test_tilt_termination(params, jit_step):
+    """Hard gimbal should tip the rocket past 30° and terminate."""
+    state, _ = rocket_env.reset(jax.random.PRNGKey(6), params)
+    terminated = False
+    for i in range(300):
+        state, out = jit_step(state, jnp.array([1.0, 1.0]), params)
+        if bool(out.terminated):
+            terminated = True
+            break
+    assert terminated
+    assert float(out.tilt) > 0.5 or bool(out.crashed)
+
+
+def test_truncation_at_max_steps():
+    params = EnvParams(max_episode_steps=10)
+    state, _ = rocket_env.reset(jax.random.PRNGKey(7), params)
+    step_fn = jax.jit(rocket_env.step)
+    for i in range(10):
+        state, out = step_fn(state, jnp.zeros(2), params)
+    assert bool(out.truncated)
+
+
+def test_progress_observation_increases(params, jit_step):
+    state, _ = rocket_env.reset(jax.random.PRNGKey(8), params)
+    state, o1 = jit_step(state, jnp.zeros(2), params)
+    state, o2 = jit_step(state, jnp.zeros(2), params)
+    assert float(o2.obs[9]) > float(o1.obs[9])
+
+
+def test_domain_randomization_varies_mass():
+    """Legacy contract: randomized resets draw different masses
+    (ref tests/test_environment.py:103-122)."""
+    params = EnvParams(randomization=RandomizationConfig(enabled=True))
+    keys = jax.random.split(jax.random.PRNGKey(9), 16)
+    states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    masses = np.asarray(states.dr.mass)
+    assert masses.std() > 0.01
+    assert np.all(masses > 2.0 * 0.65) and np.all(masses < 2.0 * 1.35)
+
+
+def test_sensor_noise_perturbs_observation():
+    params = EnvParams(
+        randomization=RandomizationConfig(enabled=True, sensor_noise_enabled=True)
+    )
+    state, _ = rocket_env.reset(jax.random.PRNGKey(10), params)
+    step_fn = jax.jit(rocket_env.step)
+    _, o1 = step_fn(state, jnp.zeros(2), params)
+    # same state, same action, different noise key after a second step
+    s2, _ = step_fn(state, jnp.zeros(2), params)
+    _, o2 = step_fn(s2.replace(body=state.body, step_count=state.step_count), jnp.zeros(2), params)
+    assert not np.allclose(o1.obs[:7], o2.obs[:7])
+
+
+def test_autoreset_starts_fresh_episode():
+    params = EnvParams(max_episode_steps=3)
+    state, _ = rocket_env.reset(jax.random.PRNGKey(11), params)
+    step_fn = jax.jit(rocket_env.step_autoreset)
+    for i in range(3):
+        state, out, next_obs = step_fn(state, jnp.array([1.0, 1.0]), params)
+    assert bool(out.terminated) or bool(out.truncated)
+    assert int(state.step_count) == 0  # fresh episode carried
+    assert float(state.fuel) == 1.0
+    # next policy obs is the fresh episode's first obs: progress == 0
+    assert float(next_obs[9]) == 0.0
+
+
+def test_batched_episode_rollout(params):
+    n = 32
+    keys = jax.random.split(jax.random.PRNGKey(12), n)
+    states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    step_fn = jax.jit(jax.vmap(rocket_env.step_autoreset, in_axes=(0, 0, None)))
+    key = jax.random.PRNGKey(13)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        actions = jax.random.uniform(k, (n, 2), minval=-1, maxval=1)
+        states, out, obs = step_fn(states, actions, params)
+    assert obs.shape == (n, OBS_DIM)
+    assert np.all(np.isfinite(np.asarray(out.reward)))
+
+
+def test_phase_transition_boost_to_coast(params, jit_step):
+    """Phase flips to COAST when fuel < 0.8 (ref :642-644); the observation's
+    phase slot lags by one step (reference ordering quirk)."""
+    from tvc_ai_tpu.env.types import PHASE_COAST
+
+    state, _ = rocket_env.reset(jax.random.PRNGKey(14), params)
+    # fast-forward fuel so post-burn fuel is clearly below the 0.8 threshold
+    state = state.replace(fuel=jnp.float32(0.79))
+    state, out = jit_step(state, jnp.zeros(2), params)
+    assert int(state.phase) == PHASE_COAST
+    assert int(out.phase) == PHASE_COAST

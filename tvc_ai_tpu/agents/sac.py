@@ -1,0 +1,237 @@
+"""Soft Actor-Critic — the north-star algorithm, as pure JAX functions.
+
+Restores the *real* SAC the reference's legacy API promised (SURVEY §0.1:
+``SACConfig``/``SACAgent`` with replay buffer, learning_starts, automatic
+entropy tuning with target entropy −action_dim) rather than the live path's
+degenerate batch-of-1 update with fixed α
+(agent/multi_algorithm_agent.py:950-1016). Algorithmic constants match the
+reference where both define them: γ=0.99, τ=0.005 soft target updates,
+clipped double-Q targets.
+
+Everything is a pure function over ``SACState`` so the update fuses with the
+batched simulator into one XLA program (``training.loop``) and shards with
+``pjit`` (params replicated, batch sharded, gradients psum-reduced).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tvc_ai_tpu.models import distributions as dist
+from tvc_ai_tpu.models.mlp import GaussianActor, TwinQ
+
+
+@dataclasses.dataclass(frozen=True)
+class SACConfig:
+    """Static hyperparameters (hashable → usable as a jit static arg).
+
+    Field set mirrors the legacy ``SACConfig`` the reference's eval/HPO
+    construct (scripts/evaluate.py:168-182, scripts/tune_hyperparameters.py:65-75).
+    """
+
+    hidden_dims: tuple[int, ...] = (256, 256)
+    lr_actor: float = 3e-4
+    lr_critic: float = 3e-4
+    lr_alpha: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    alpha: float = 0.2
+    automatic_entropy_tuning: bool = True
+    target_entropy: float | None = None  # defaults to -action_dim
+    batch_size: int = 256
+    buffer_size: int = 1_000_000
+    learning_starts: int = 1000
+    gradient_clip_norm: float = 10.0
+    action_noise: float = 0.0
+    curriculum_learning: bool = False
+
+    def __post_init__(self):
+        # legacy call sites pass hidden_dims as a list
+        # (tests/test_agent.py:49, scripts/tune_hyperparameters.py:65-75);
+        # normalize so the config stays hashable for jit static args
+        object.__setattr__(self, "hidden_dims", tuple(self.hidden_dims))
+
+    def resolved_target_entropy(self, action_dim: int) -> float:
+        return (
+            float(self.target_entropy)
+            if self.target_entropy is not None
+            else -float(action_dim)
+        )
+
+
+@struct.dataclass
+class SACState:
+    """All learnable state — one pytree, donate-able, orbax-checkpointable."""
+
+    actor_params: Any
+    critic_params: Any
+    target_critic_params: Any
+    log_alpha: jnp.ndarray
+    actor_opt: Any
+    critic_opt: Any
+    alpha_opt: Any
+    step: jnp.ndarray  # i32 update counter
+
+
+def _optim(lr: float, clip: float) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+
+
+def make_networks(obs_dim: int, action_dim: int, cfg: SACConfig):
+    actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
+    critic = TwinQ(hidden_dims=cfg.hidden_dims)
+    return actor, critic
+
+
+def init(key: jnp.ndarray, obs_dim: int, action_dim: int, cfg: SACConfig) -> SACState:
+    actor, critic = make_networks(obs_dim, action_dim, cfg)
+    k_actor, k_critic = jax.random.split(key)
+    dummy_obs = jnp.zeros((1, obs_dim), jnp.float32)
+    dummy_act = jnp.zeros((1, action_dim), jnp.float32)
+    actor_params = actor.init(k_actor, dummy_obs)
+    critic_params = critic.init(k_critic, dummy_obs, dummy_act)
+    log_alpha = jnp.asarray(jnp.log(cfg.alpha), jnp.float32)
+    return SACState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        target_critic_params=jax.tree.map(jnp.copy, critic_params),
+        log_alpha=log_alpha,
+        actor_opt=_optim(cfg.lr_actor, cfg.gradient_clip_norm).init(actor_params),
+        critic_opt=_optim(cfg.lr_critic, cfg.gradient_clip_norm).init(critic_params),
+        alpha_opt=optax.adam(cfg.lr_alpha).init(log_alpha),
+        step=jnp.int32(0),
+    )
+
+
+def select_action(
+    state: SACState,
+    obs: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: SACConfig,
+    action_dim: int,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Policy action in [-1, 1]; works on single obs or batches."""
+    actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
+    mean, log_std = actor.apply(state.actor_params, obs)
+    if deterministic:
+        return dist.deterministic_action(mean)
+    action, _ = dist.sample_and_log_prob(key, mean, log_std)
+    return action
+
+
+def update(
+    state: SACState,
+    batch: dict[str, jnp.ndarray],
+    key: jnp.ndarray,
+    cfg: SACConfig,
+    obs_dim: int,
+    action_dim: int,
+    axis_name: str | None = None,
+) -> tuple[SACState, dict[str, jnp.ndarray]]:
+    """One SAC gradient step on a sampled batch.
+
+    batch keys: obs, action, reward, next_obs, done (float 0/1 — terminated
+    only, truncation bootstraps). ``axis_name`` psum-averages gradients for
+    data-parallel pjit/shard_map training.
+    """
+    actor, critic = make_networks(obs_dim, action_dim, cfg)
+    k_next, k_pi = jax.random.split(key)
+    alpha = jnp.exp(state.log_alpha)
+    target_entropy = cfg.resolved_target_entropy(action_dim)
+
+    def maybe_pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
+    # ---- critic: clipped double-Q target (ref SAC member :964-996)
+    next_mean, next_log_std = actor.apply(state.actor_params, batch["next_obs"])
+    next_action, next_logp = dist.sample_and_log_prob(k_next, next_mean, next_log_std)
+    tq1, tq2 = critic.apply(state.target_critic_params, batch["next_obs"], next_action)
+    target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
+    target_q = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * target_v
+    target_q = jax.lax.stop_gradient(target_q)
+
+    def critic_loss_fn(params):
+        q1, q2 = critic.apply(params, batch["obs"], batch["action"])
+        loss = jnp.mean((q1 - target_q) ** 2) + jnp.mean((q2 - target_q) ** 2)
+        return loss, (jnp.mean(q1), jnp.mean(q2))
+
+    (critic_loss, (q1_mean, q2_mean)), critic_grads = jax.value_and_grad(
+        critic_loss_fn, has_aux=True
+    )(state.critic_params)
+    critic_grads = maybe_pmean(critic_grads)
+    c_updates, critic_opt = _optim(cfg.lr_critic, cfg.gradient_clip_norm).update(
+        critic_grads, state.critic_opt, state.critic_params
+    )
+    critic_params = optax.apply_updates(state.critic_params, c_updates)
+
+    # ---- actor: reparameterized policy gradient
+    def actor_loss_fn(params):
+        mean, log_std = actor.apply(params, batch["obs"])
+        action, logp = dist.sample_and_log_prob(k_pi, mean, log_std)
+        q1, q2 = critic.apply(critic_params, batch["obs"], action)
+        q = jnp.minimum(q1, q2)
+        loss = jnp.mean(alpha * logp - q)
+        return loss, logp
+
+    (actor_loss, logp), actor_grads = jax.value_and_grad(
+        actor_loss_fn, has_aux=True
+    )(state.actor_params)
+    actor_grads = maybe_pmean(actor_grads)
+    a_updates, actor_opt = _optim(cfg.lr_actor, cfg.gradient_clip_norm).update(
+        actor_grads, state.actor_opt, state.actor_params
+    )
+    actor_params = optax.apply_updates(state.actor_params, a_updates)
+
+    # ---- temperature (automatic entropy tuning; legacy contract
+    #      tests/test_agent.py:220-242 requires α>0 after training)
+    if cfg.automatic_entropy_tuning:
+        def alpha_loss_fn(log_alpha):
+            return -jnp.mean(
+                jnp.exp(log_alpha) * jax.lax.stop_gradient(logp + target_entropy)
+            )
+
+        alpha_loss, alpha_grad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        alpha_grad = maybe_pmean(alpha_grad)
+        al_updates, alpha_opt = optax.adam(cfg.lr_alpha).update(
+            alpha_grad, state.alpha_opt, state.log_alpha
+        )
+        log_alpha = optax.apply_updates(state.log_alpha, al_updates)
+    else:
+        alpha_loss = jnp.float32(0.0)
+        alpha_opt = state.alpha_opt
+        log_alpha = state.log_alpha
+
+    # ---- soft target update, τ=0.005 (ref :1004-1009)
+    target_critic_params = jax.tree.map(
+        lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
+        state.target_critic_params,
+        critic_params,
+    )
+
+    new_state = SACState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        target_critic_params=target_critic_params,
+        log_alpha=log_alpha,
+        actor_opt=actor_opt,
+        critic_opt=critic_opt,
+        alpha_opt=alpha_opt,
+        step=state.step + 1,
+    )
+    metrics = {
+        "critic_loss": critic_loss,
+        "actor_loss": actor_loss,
+        "alpha_loss": alpha_loss,
+        "alpha": jnp.exp(log_alpha),
+        "q1_mean": q1_mean,
+        "q2_mean": q2_mean,
+        "entropy": -jnp.mean(logp),
+    }
+    return new_state, metrics

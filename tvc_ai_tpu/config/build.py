@@ -1,0 +1,126 @@
+"""Bridge: typed config tree → runtime pytrees (EnvParams / agent configs)."""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from tvc_ai_tpu.agents.sac import SACConfig
+from tvc_ai_tpu.config.schema import CurriculumStage, FrameworkConfig
+from tvc_ai_tpu.env.types import (
+    EnvParams,
+    RandomizationConfig,
+    RewardConfig,
+    SuccessConfig,
+    TerminationConfig,
+)
+from tvc_ai_tpu.physics.types import RocketParams
+from tvc_ai_tpu.training.loop import TrainLoopConfig
+
+
+def build_env_params(
+    cfg: FrameworkConfig, stage: CurriculumStage | None = None
+) -> EnvParams:
+    """EnvParams from config; a curriculum stage overlays its conditions
+    (wind/mass-variation/initial-tilt/sensor-noise/gimbal-limit — the overlay
+    the reference spec'd but never applied, SURVEY §2.5)."""
+    e = cfg.env
+    dr = e.domain_randomization
+    gimbal_scale = stage.gimbal_limit_scale if stage else 1.0
+    rocket = RocketParams(
+        mass=jnp.float32(e.mass),
+        length=jnp.float32(e.length),
+        radius=jnp.float32(e.radius),
+        thrust=jnp.float32(e.thrust),
+        max_gimbal=jnp.float32(math.radians(e.max_gimbal_deg) * gimbal_scale),
+        fuel_burn_rate=jnp.float32(e.fuel_burn_rate),
+        double_gravity=e.double_gravity,
+        dt=e.physics_timestep,
+        substeps=e.substeps,
+    )
+    rnd = RandomizationConfig(
+        enabled=dr.enabled,
+        sensor_noise_enabled=dr.sensor_noise_enabled,
+        mass_variation=jnp.float32(
+            stage.mass_variation if stage else dr.mass_variation
+        ),
+        thrust_variation=jnp.float32(dr.thrust_variation),
+        cg_offset_max=jnp.float32(dr.cg_offset_max),
+        wind_max=jnp.float32(stage.wind_force if stage else dr.wind_max),
+        sensor_noise_std=jnp.float32(
+            stage.sensor_noise if stage else dr.sensor_noise_std
+        ),
+        init_tilt_max=jnp.float32(
+            stage.initial_tilt_max if stage else dr.init_tilt_max
+        ),
+        init_omega_max=jnp.float32(dr.init_omega_max),
+        init_pos_jitter=jnp.float32(dr.init_pos_jitter),
+    )
+    ms = cfg.mission_success
+    success = SuccessConfig(
+        max_tilt_angle=jnp.float32(ms.max_tilt_angle),
+        max_angular_velocity=jnp.float32(ms.max_angular_velocity),
+        max_horizontal_velocity=jnp.float32(ms.max_horizontal_velocity),
+        max_vertical_velocity=jnp.float32(ms.max_vertical_velocity),
+        min_altitude=jnp.float32(ms.min_altitude),
+        max_altitude=jnp.float32(ms.max_altitude),
+        success_duration=ms.success_duration,
+    )
+    r = cfg.reward_function
+    reward = RewardConfig(
+        mission_completion_weight=jnp.float32(r.mission_completion_weight),
+        safety_compliance_weight=jnp.float32(r.safety_compliance_weight),
+        fuel_efficiency_weight=jnp.float32(r.fuel_efficiency_weight),
+        stability_bonus_weight=jnp.float32(r.stability_bonus_weight),
+        control_smoothness_weight=jnp.float32(r.control_smoothness_weight),
+        altitude_maintenance_weight=jnp.float32(r.altitude_maintenance_weight),
+        crash_penalty=jnp.float32(r.crash_penalty),
+        gradient_penalty=jnp.float32(r.gradient_penalty),
+        diversity_bonus=jnp.float32(r.diversity_bonus),
+        clip_min=jnp.float32(r.clip_min),
+        clip_max=jnp.float32(r.clip_max),
+        target_altitude=jnp.float32(r.target_altitude),
+    )
+    sc = cfg.safety.constraints
+    termination = TerminationConfig(
+        crash_altitude=jnp.float32(sc.min_altitude),
+        max_tilt=jnp.float32(sc.max_tilt),
+        max_altitude=jnp.float32(sc.max_altitude),
+    )
+    return EnvParams(
+        rocket=rocket,
+        randomization=rnd,
+        success=success,
+        reward=reward,
+        termination=termination,
+        max_episode_steps=e.max_episode_steps,
+    )
+
+
+def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
+    s = cfg.algorithms.sac
+    auto_ent = isinstance(s.ent_coef, str) and s.ent_coef == "auto"
+    return SACConfig(
+        hidden_dims=tuple(s.hidden_dims),
+        lr_actor=s.lr_actor,
+        lr_critic=s.lr_critic,
+        lr_alpha=s.lr_alpha,
+        gamma=s.gamma,
+        tau=s.tau,
+        alpha=0.2 if auto_ent else float(s.ent_coef),
+        automatic_entropy_tuning=auto_ent,
+        batch_size=s.batch_size,
+        buffer_size=s.buffer_size,
+        learning_starts=s.learning_starts,
+        gradient_clip_norm=s.grad_clip_norm,
+    )
+
+
+def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
+    t = cfg.training
+    return TrainLoopConfig(
+        num_envs=t.num_envs,
+        rollout_steps=t.rollout_steps,
+        updates_per_step=t.updates_per_step,
+    )

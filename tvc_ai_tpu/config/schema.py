@@ -1,0 +1,374 @@
+"""Typed configuration tree (the reference's 452-line YAML, validated).
+
+The reference loads one YAML with ``yaml.safe_load`` and every consumer
+defends with ``.get()`` chains + hardcoded defaults (SURVEY §2.6), so typos
+fail silently. Here each section is a dataclass with defaults matching the
+reference's config/config.yaml values; ``from_dict`` recursively builds the
+tree and REJECTS unknown keys, and the YAML front-end stays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, get_args, get_origin, get_type_hints
+
+
+def _build(cls, data: dict[str, Any], path: str = ""):
+    """Recursively build dataclass ``cls`` from a plain dict, strictly."""
+    if data is None:
+        data = {}
+    if not isinstance(data, dict):
+        raise TypeError(f"config section '{path}' must be a mapping, got {type(data)}")
+    hints = get_type_hints(cls)
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config keys at '{path or cls.__name__}': {sorted(unknown)}")
+    kwargs = {}
+    for name, value in data.items():
+        target = hints[name]
+        sub_path = f"{path}.{name}" if path else name
+        if dataclasses.is_dataclass(target) and isinstance(value, dict):
+            kwargs[name] = _build(target, value, sub_path)
+        elif get_origin(target) is dict and value is not None:
+            val_type = get_args(target)[1] if get_args(target) else Any
+            if dataclasses.is_dataclass(val_type):
+                kwargs[name] = {
+                    k: _build(val_type, v, f"{sub_path}.{k}") for k, v in value.items()
+                }
+            else:
+                kwargs[name] = dict(value)
+        elif get_origin(target) in (list, tuple) and value is not None:
+            kwargs[name] = target.__origin__(value)
+        else:
+            kwargs[name] = value
+    return cls(**kwargs)
+
+
+# --------------------------------------------------------------- sections
+
+
+@dataclass
+class GlobalsConfig:
+    project_name: str = "TVC-AI-TPU"
+    experiment_name: str = "rocket_tvc_tpu"
+    output_dir: str = "./outputs/tpu"
+    seed: int = 42
+    debug: bool = False
+    device: str = "auto"
+
+
+@dataclass
+class EnsembleConfig:
+    enabled: bool = True
+    algorithms: list[str] = field(default_factory=lambda: ["ppo", "sac", "td3"])
+    selection_strategy: str = "dynamic"  # dynamic | best | voting
+    performance_window: int = 100
+
+
+@dataclass
+class PPOSection:
+    enabled: bool = True
+    clip_range: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    gae_lambda: float = 0.95
+    n_steps: int = 2048
+    n_epochs: int = 10
+    batch_size: int = 64
+    learning_rate: float = 2.5e-4
+    lr_schedule: str = "linear"
+
+
+@dataclass
+class SACSection:
+    enabled: bool = True
+    lr_actor: float = 5e-5
+    lr_critic: float = 1.5e-4
+    lr_alpha: float = 3e-4
+    buffer_size: int = 1_000_000
+    learning_starts: int = 1000
+    batch_size: int = 256
+    tau: float = 0.005
+    gamma: float = 0.99
+    train_freq: int = 1
+    gradient_steps: int = 1
+    ent_coef: str = "auto"  # "auto" or float-as-string
+    grad_clip_norm: float = 5.0
+    hidden_dims: list[int] = field(default_factory=lambda: [256, 256])
+
+
+@dataclass
+class TD3Section:
+    enabled: bool = True
+    learning_rate: float = 3e-4
+    buffer_size: int = 1_000_000
+    learning_starts: int = 100
+    batch_size: int = 256
+    tau: float = 0.005
+    gamma: float = 0.99
+    policy_delay: int = 2
+    target_policy_noise: float = 0.2
+    target_noise_clip: float = 0.5
+    exploration_noise: float = 0.1
+    hidden_dims: list[int] = field(default_factory=lambda: [256, 256])
+
+
+@dataclass
+class AlgorithmsConfig:
+    ensemble: EnsembleConfig = field(default_factory=EnsembleConfig)
+    ppo: PPOSection = field(default_factory=PPOSection)
+    sac: SACSection = field(default_factory=SACSection)
+    td3: TD3Section = field(default_factory=TD3Section)
+
+
+@dataclass
+class TransformerConfig:
+    d_model: int = 256
+    num_heads: int = 8
+    num_layers: int = 4
+    dim_feedforward: int = 512
+    dropout: float = 0.1
+    max_seq_length: int = 5000
+
+
+@dataclass
+class NetworkConfig:
+    architecture_type: str = "mlp"  # mlp | transformer
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    hidden_dims: list[int] = field(default_factory=lambda: [512, 512])
+    use_se_block: bool = True
+
+
+@dataclass
+class HierarchicalConfig:
+    enabled: bool = False
+    num_goals: int = 4
+    goals: list[str] = field(
+        default_factory=lambda: ["hover", "land", "recover", "maintain_altitude"]
+    )
+    high_level_lr: float = 1e-4
+    low_level_lr: float = 3e-4
+
+
+@dataclass
+class CuriosityConfig:
+    enabled: bool = False
+    hidden_dim: int = 256
+    lr: float = 1e-4
+    reward_scale: float = 0.01
+
+
+@dataclass
+class ExplorationConfig:
+    curiosity: CuriosityConfig = field(default_factory=CuriosityConfig)
+    action_noise: float = 0.1
+
+
+@dataclass
+class PhysicsInformedSection:
+    enabled: bool = False
+    physics_loss_weight: float = 0.1
+    conservation_laws: list[str] = field(
+        default_factory=lambda: ["momentum", "energy", "angular_momentum"]
+    )
+
+
+@dataclass
+class MissionSuccessSection:
+    max_tilt_angle: float = 0.087
+    max_angular_velocity: float = 0.1
+    max_horizontal_velocity: float = 0.5
+    max_vertical_velocity: float = 2.0
+    min_altitude: float = 0.2
+    max_altitude: float = 2.0
+    success_duration: int = 100
+
+
+@dataclass
+class RewardSection:
+    mission_completion_weight: float = 100.0
+    safety_compliance_weight: float = 50.0
+    fuel_efficiency_weight: float = 20.0
+    stability_bonus_weight: float = 10.0
+    control_smoothness_weight: float = 5.0
+    altitude_maintenance_weight: float = 5.0
+    crash_penalty: float = -1000.0
+    gradient_penalty: float = 0.1
+    diversity_bonus: float = 0.05
+    clip_min: float = -1000.0
+    clip_max: float = 200.0
+    target_altitude: float = 3.0
+
+
+@dataclass
+class CurriculumStage:
+    name: str = "stage"
+    episodes: int = 200
+    wind_force: float = 0.0
+    mass_variation: float = 0.05
+    initial_tilt_max: float = 0.05
+    sensor_noise: float = 0.0
+    gimbal_limit_scale: float = 1.0
+    success_threshold: float = 0.7
+
+
+def default_stages() -> list[CurriculumStage]:
+    """The reference's 6-stage schedule (config/config.yaml:236-286)."""
+    return [
+        CurriculumStage("hover_training", 200, 0.0, 0.05, 0.05, 0.0, 1.0, 0.7),
+        CurriculumStage("disturbance_rejection", 300, 0.5, 0.1, 0.1, 0.0, 1.0, 0.75),
+        CurriculumStage("moderate_control", 400, 1.0, 0.15, 0.2, 0.01, 1.0, 0.8),
+        CurriculumStage("advanced_control", 500, 2.0, 0.2, 0.4, 0.02, 1.0, 0.85),
+        CurriculumStage("extreme_robustness", 600, 3.0, 0.3, 0.7, 0.02, 1.0, 0.9),
+    ]
+
+
+@dataclass
+class CurriculumConfig:
+    enabled: bool = True
+    type: str = "adaptive"
+    success_threshold: float = 0.8
+    stability_window: int = 100
+    min_stage_fraction: float = 0.5  # must run ≥50% of stage before advancing
+    stages: list[CurriculumStage] = field(default_factory=default_stages)
+
+
+@dataclass
+class SafetyConstraints:
+    max_tilt: float = 0.52
+    max_angular_velocity: float = 5.0
+    min_altitude: float = 0.1
+    max_altitude: float = 20.0
+    max_control_effort: float = 1.0
+    fuel_reserve: float = 0.1
+
+
+@dataclass
+class SafetyConfig:
+    enabled: bool = True
+    layer_type: str = "cbf"
+    intervention_threshold: float = 0.9
+    constraints: SafetyConstraints = field(default_factory=SafetyConstraints)
+
+
+@dataclass
+class EarlyStoppingConfig:
+    enabled: bool = True
+    patience: int = 5          # eval rounds without improvement
+    min_improvement: float = 0.05
+    metric: str = "eval_success_rate"
+
+
+@dataclass
+class CheckpointConfig:
+    save_best: bool = True
+    save_last: bool = True
+    save_periodic: bool = True
+    period: int = 25_000
+
+
+@dataclass
+class TrainingConfig:
+    total_timesteps: int = 2_000_000
+    eval_freq: int = 5000
+    eval_episodes: int = 20
+    save_freq: int = 10_000
+    num_envs: int = 4096
+    rollout_steps: int = 128   # env steps per fused iteration
+    updates_per_step: int = 1
+    algorithm: str = "sac"     # sac | ppo | td3 | ensemble
+    early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
+    checkpointing: CheckpointConfig = field(default_factory=CheckpointConfig)
+
+
+@dataclass
+class DomainRandomizationConfig:
+    enabled: bool = True
+    sensor_noise_enabled: bool = True
+    mass_variation: float = 0.3
+    thrust_variation: float = 0.2
+    cg_offset_max: float = 0.1
+    wind_max: float = 3.0
+    sensor_noise_std: float = 0.02
+    init_tilt_max: float = 0.0
+    init_omega_max: float = 0.0
+    init_pos_jitter: float = 0.0
+
+
+@dataclass
+class EnvSection:
+    max_episode_steps: int = 1000
+    physics_timestep: float = 0.02
+    substeps: int = 4
+    double_gravity: bool = True  # reference parity quirk (SURVEY §2.1)
+    mass: float = 2.0
+    length: float = 1.0
+    radius: float = 0.05
+    thrust: float = 35.0
+    max_gimbal_deg: float = 18.0
+    fuel_burn_rate: float = 0.001
+    domain_randomization: DomainRandomizationConfig = field(
+        default_factory=DomainRandomizationConfig
+    )
+
+
+@dataclass
+class LoggingConfig:
+    level: str = "INFO"
+    tensorboard: bool = True
+    csv: bool = True
+    log_freq_iterations: int = 1
+    wandb_enabled: bool = False
+    wandb_mode: str = "offline"
+
+
+@dataclass
+class HardwareConfig:
+    device: str = "auto"        # auto | tpu | cpu
+    mesh_devices: int = 0       # 0 = all available
+    donate_buffers: bool = True
+
+
+@dataclass
+class FrameworkConfig:
+    """Root config — sections mirror config/config.yaml's layout."""
+
+    globals: GlobalsConfig = field(default_factory=GlobalsConfig)
+    algorithms: AlgorithmsConfig = field(default_factory=AlgorithmsConfig)
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    hierarchical_rl: HierarchicalConfig = field(default_factory=HierarchicalConfig)
+    exploration: ExplorationConfig = field(default_factory=ExplorationConfig)
+    physics_informed: PhysicsInformedSection = field(
+        default_factory=PhysicsInformedSection
+    )
+    mission_success: MissionSuccessSection = field(
+        default_factory=MissionSuccessSection
+    )
+    reward_function: RewardSection = field(default_factory=RewardSection)
+    curriculum: CurriculumConfig = field(default_factory=CurriculumConfig)
+    safety: SafetyConfig = field(default_factory=SafetyConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    env: EnvSection = field(default_factory=EnvSection)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    hardware: HardwareConfig = field(default_factory=HardwareConfig)
+
+    @staticmethod
+    def from_dict(data: dict[str, Any]) -> "FrameworkConfig":
+        data = dict(data or {})
+        stages = None
+        cur = data.get("curriculum")
+        if isinstance(cur, dict) and isinstance(cur.get("stages"), (list, dict)):
+            raw = cur.pop("stages")
+            if isinstance(raw, dict):  # reference uses stage_1..stage_5 keys
+                raw = [raw[k] for k in sorted(raw)]
+            stages = [_build(CurriculumStage, s, "curriculum.stages") for s in raw]
+        cfg = _build(FrameworkConfig, data)
+        if stages is not None:
+            cfg.curriculum.stages = stages
+        return cfg
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,257 @@
+"""The core functional rocket-TVC environment.
+
+Pure, vmappable reimplementation of the reference's
+``EnhancedRocketTVCEnv.step`` (env/enhanced_rocket_tvc_env.py:466-518),
+preserving its exact per-step ordering — including two subtle behaviors a
+naive rewrite would "fix":
+
+1. The observation's phase slot holds the *pre-update* phase (the reference
+   builds obs at :482 before ``_update_mission_phase`` at :485).
+2. The reward sees the *pre-update* phase and success flag (the reference
+   builds ``state_dict`` at :481 and never rebuilds it after the FSM tick),
+   while termination sees the *post-update* success flag (:703 reads the
+   attribute).
+
+API:
+    reset(key, params)            -> (EnvState, obs)
+    step(state, action, params)   -> (EnvState, StepOutput)      # no autoreset
+    step_autoreset(...)           -> (EnvState, StepOutput)      # for vmapped rollouts
+
+Batch by ``jax.vmap(reset)`` / ``jax.vmap(step, in_axes=(0, 0, None))``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tvc_ai_tpu.env import mission as mission_mod
+from tvc_ai_tpu.env import reward as reward_mod
+from tvc_ai_tpu.env.randomization import sample_domain_params
+from tvc_ai_tpu.env.types import (
+    ACTION_DIM,
+    NUM_PHASES,
+    OBS_DIM,
+    PHASE_BOOST,
+    EnvParams,
+    EnvState,
+    StepOutput,
+)
+from tvc_ai_tpu.physics import quaternion as quat
+from tvc_ai_tpu.physics.integrator import ThrustControl
+from tvc_ai_tpu.physics.integrator import step as physics_step
+from tvc_ai_tpu.physics.types import RigidBodyState
+
+
+def _observe(
+    state_body: RigidBodyState,
+    fuel: jnp.ndarray,
+    phase: jnp.ndarray,
+    step_count: jnp.ndarray,
+    params: EnvParams,
+    noise_key: jnp.ndarray,
+    noise_std: jnp.ndarray,
+) -> jnp.ndarray:
+    """10-D observation [quat, ω, fuel, phase/7, progress] (ref :587-606).
+
+    IMU noise (domain-randomization spec, config.yaml:347-349) perturbs the
+    quaternion (renormalized) and angular-velocity channels.
+    """
+    kq, kw = jax.random.split(noise_key)
+    q = state_body.quat + jax.random.normal(kq, (4,)) * noise_std
+    q = quat.normalize(q)
+    w = state_body.omega + jax.random.normal(kw, (3,)) * noise_std
+    phase_value = phase.astype(jnp.float32) / NUM_PHASES
+    progress = jnp.minimum(
+        1.0, step_count.astype(jnp.float32) / params.max_episode_steps
+    )
+    return jnp.concatenate(
+        [q, w, fuel[None], phase_value[None], progress[None]]
+    ).astype(jnp.float32)
+
+
+def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
+    """Reset one env: nominal pose [0,0,1]/identity (ref :434-441) plus any
+    configured initial-condition randomization (curriculum/legacy spec)."""
+    k_dr, k_tilt, k_omega, k_pos, k_noise, k_next = jax.random.split(key, 6)
+    rnd = params.randomization
+    dr = sample_domain_params(k_dr, params.rocket, rnd)
+
+    q0 = quat.random_tilt_quaternion(k_tilt, rnd.init_tilt_max)
+    omega0 = jax.random.uniform(
+        k_omega, (3,), minval=-1.0, maxval=1.0
+    ) * rnd.init_omega_max
+    pos0 = params.init_pos + jnp.concatenate(
+        [
+            jax.random.uniform(k_pos, (2,), minval=-1.0, maxval=1.0)
+            * rnd.init_pos_jitter,
+            jnp.zeros(1),
+        ]
+    )
+    body = RigidBodyState(
+        pos=pos0.astype(jnp.float32),
+        quat=q0.astype(jnp.float32),
+        vel=jnp.zeros(3, jnp.float32),
+        omega=omega0.astype(jnp.float32),
+    )
+    state = EnvState(
+        body=body,
+        fuel=jnp.float32(1.0),
+        step_count=jnp.int32(0),
+        phase=jnp.int32(PHASE_BOOST),
+        mission_success=jnp.bool_(False),
+        success_count=jnp.int32(0),
+        prev_action=jnp.zeros(ACTION_DIM, jnp.float32),
+        has_prev_action=jnp.bool_(False),
+        reward_window=jnp.zeros(params.reward.variance_window, jnp.float32),
+        reward_window_len=jnp.int32(0),
+        dr=dr,
+        key=k_next,
+    )
+    obs = _observe(
+        body, state.fuel, state.phase, state.step_count, params, k_noise,
+        dr.sensor_noise_std,
+    )
+    return state, obs
+
+
+def step(
+    state: EnvState, action: jnp.ndarray, params: EnvParams
+) -> tuple[EnvState, StepOutput]:
+    key, k_noise = jax.random.split(state.key)
+
+    # 1. action → gimbal (ref :470-471); fuel gate checked *before* burn (:530-533)
+    action = jnp.clip(action, -1.0, 1.0)
+    gimbal = action * params.rocket.max_gimbal
+    thrust_active = state.fuel > 0.0
+    fuel = jnp.where(
+        thrust_active,
+        jnp.maximum(0.0, state.fuel - params.rocket.fuel_burn_rate),
+        state.fuel,
+    )
+
+    # 2. physics (4 substeps @ 50 Hz, ref :339-345,:477)
+    body = physics_step(
+        state.body,
+        ThrustControl(gimbal=gimbal, thrust_active=thrust_active),
+        params.rocket,
+        mass=state.dr.mass,
+        thrust_scale=state.dr.thrust_scale,
+        cg_offset=state.dr.cg_offset,
+        wind=state.dr.wind,
+    )
+    step_count = state.step_count + 1
+
+    # 3. derived quantities (ref _get_state_dict :608-633)
+    altitude = body.pos[2]
+    tilt = quat.tilt_angle(body.quat)
+    ang_mag = jnp.linalg.norm(body.omega)
+    horiz_vel = jnp.linalg.norm(body.vel[:2])
+    vert_vel = jnp.abs(body.vel[2])
+    crashed = altitude < params.termination.crash_altitude
+
+    # 4. observation with PRE-update phase (ref ordering :482 vs :485)
+    obs = _observe(body, fuel, state.phase, step_count, params, k_noise,
+                   state.dr.sensor_noise_std)
+
+    # 5. mission FSM + success window (post-physics quantities)
+    new_phase, completed = mission_mod.update_phase(
+        state.phase, altitude, tilt, fuel, ang_mag, params.success
+    )
+    success_count, window_success = mission_mod.update_success_window(
+        state.success_count, altitude, tilt, ang_mag, horiz_vel, vert_vel,
+        params.success,
+    )
+    mission_success = state.mission_success | completed | window_success
+
+    # 6. reward with PRE-update phase & success flag (ref stale state_dict)
+    total_reward, reward_window, reward_window_len, components = (
+        reward_mod.compute_reward(
+            params.reward,
+            altitude=altitude,
+            tilt=tilt,
+            angular_velocity_mag=ang_mag,
+            fuel=fuel,
+            crashed=crashed,
+            mission_successful=state.mission_success,
+            phase=state.phase,
+            action=action,
+            prev_action=state.prev_action,
+            has_prev_action=state.has_prev_action,
+            reward_window=state.reward_window,
+            reward_window_len=state.reward_window_len,
+        )
+    )
+
+    # 7. termination with POST-update success flag (ref :697-721)
+    horiz_dist = jnp.linalg.norm(body.pos[:2])
+    terminated = (
+        mission_success
+        | crashed
+        | (tilt > params.termination.max_tilt)
+        | (altitude > params.termination.max_altitude)
+        | (horiz_dist > params.termination.max_horizontal_distance)
+    )
+    truncated = step_count >= params.max_episode_steps
+
+    new_state = EnvState(
+        body=body,
+        fuel=fuel,
+        step_count=step_count,
+        phase=new_phase,
+        mission_success=mission_success,
+        success_count=success_count,
+        prev_action=action,
+        has_prev_action=jnp.bool_(True),
+        reward_window=reward_window,
+        reward_window_len=reward_window_len,
+        dr=state.dr,
+        key=key,
+    )
+    out = StepOutput(
+        obs=obs,
+        reward=total_reward,
+        terminated=terminated,
+        truncated=truncated,
+        altitude=altitude,
+        tilt=tilt,
+        angular_velocity_mag=ang_mag,
+        fuel=fuel,
+        phase=new_phase,
+        mission_success=mission_success,
+        crashed=crashed,
+        reward_components=components,
+    )
+    return new_state, out
+
+
+def step_autoreset(
+    state: EnvState, action: jnp.ndarray, params: EnvParams
+) -> tuple[EnvState, StepOutput, jnp.ndarray]:
+    """Step with masked in-place reset — the vmap replacement for Gym's episode loop.
+
+    Returns ``(carried_state, out, next_policy_obs)``:
+
+    - ``out.obs`` is the TRUE next observation of the (possibly finished)
+      episode step — what belongs in the replay buffer as next_obs;
+    - ``next_policy_obs`` is the observation to act on next step — equal to
+      ``out.obs`` unless the episode ended, in which case it is the first
+      observation of a freshly reset episode (new domain-randomization draw
+      from the env's own key chain, no host sync).
+    """
+    new_state, out = step(state, action, params)
+    done = out.terminated | out.truncated
+    k_reset, k_carry = jax.random.split(new_state.key)
+    reset_state, reset_obs = reset(k_reset, params)
+    # keep the key chain moving even when not resetting
+    carried = jax.tree.map(
+        lambda r, n: jnp.where(
+            jnp.reshape(done, done.shape + (1,) * (jnp.ndim(n) - jnp.ndim(done))),
+            r,
+            n,
+        ),
+        reset_state,
+        new_state.replace(key=k_carry),
+    )
+    next_policy_obs = jnp.where(done, reset_obs, out.obs)
+    return carried, out, next_policy_obs

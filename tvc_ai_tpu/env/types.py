@@ -1,0 +1,174 @@
+"""Environment state/parameter pytrees.
+
+The reference env is a stateful Python object wrapping one PyBullet client
+(ref: env/enhanced_rocket_tvc_env.py:271-753). Here the environment is a pair
+of pure functions over these pytrees, so N envs = one leading batch axis and
+the whole rollout fuses into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
+
+# Mission phases, same ordering as the reference enum so the normalized
+# phase observation matches (ref: env/enhanced_rocket_tvc_env.py:21-29,:593).
+PHASE_BOOST = 0
+PHASE_COAST = 1
+PHASE_LANDING = 2
+PHASE_TOUCHDOWN = 3
+PHASE_HOVER = 4
+PHASE_COMPLETE = 5
+PHASE_FAILED = 6
+NUM_PHASES = 7
+
+PHASE_NAMES = ("boost", "coast", "landing", "touchdown", "hover", "complete", "failed")
+
+OBS_DIM = 10          # [quat(4), ω(3), fuel, phase, progress]  (ref :354-374)
+OBS_DIM_LEGACY = 8    # [quat(4), ω(3), fuel]                   (legacy API, SURVEY §0.1)
+ACTION_DIM = 2        # gimbal [pitch, yaw] in [-1, 1]          (ref :376-379)
+
+
+@struct.dataclass
+class DomainParams:
+    """Per-episode randomized physical parameters (one draw per reset).
+
+    Ranges follow the reference's domain-randomization spec
+    (config/config.yaml:340-349 + legacy RocketConfig fields): mass ±30 %
+    uniform, thrust ±20 % normal, CG offset ≤ 0.1 m, wind ≤ 3 N normal,
+    IMU noise σ = 0.02.
+    """
+
+    mass: jnp.ndarray          # kg
+    thrust_scale: jnp.ndarray  # multiplier on nominal thrust
+    cg_offset: jnp.ndarray     # (3,) m, body frame
+    wind: jnp.ndarray          # (3,) N, world frame, constant over the episode
+    sensor_noise_std: jnp.ndarray
+
+    @staticmethod
+    def nominal(rocket: RocketParams) -> "DomainParams":
+        return DomainParams(
+            mass=jnp.asarray(rocket.mass, jnp.float32),
+            thrust_scale=jnp.float32(1.0),
+            cg_offset=jnp.zeros(3, jnp.float32),
+            wind=jnp.zeros(3, jnp.float32),
+            sensor_noise_std=jnp.float32(0.0),
+        )
+
+
+@struct.dataclass
+class RandomizationConfig:
+    """Randomization ranges; curriculum stages scale these (config.yaml:240-286)."""
+
+    enabled: bool = struct.field(pytree_node=False, default=False)
+    sensor_noise_enabled: bool = struct.field(pytree_node=False, default=False)
+    mass_variation: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.3))
+    thrust_variation: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.2))
+    cg_offset_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
+    wind_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0))
+    sensor_noise_std: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.02))
+    # initial-condition randomization (legacy/curriculum; the enhanced env
+    # resets deterministically to [0,0,1] + identity, ref :381-407,:438)
+    init_tilt_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    init_omega_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    init_pos_jitter: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+
+
+@struct.dataclass
+class SuccessConfig:
+    """SpaceX-style landing criteria (ref MissionSuccess dataclass :39-61)."""
+
+    max_tilt_angle: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.087))
+    max_angular_velocity: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
+    max_horizontal_velocity: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.5))
+    max_vertical_velocity: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0))
+    min_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.2))
+    max_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0))
+    success_duration: int = struct.field(pytree_node=False, default=100)
+
+
+@struct.dataclass
+class RewardConfig:
+    """Multi-objective reward weights/thresholds (ref MultiObjectiveReward :73-224)."""
+
+    mission_completion_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(100.0))
+    safety_compliance_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(50.0))
+    fuel_efficiency_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(20.0))
+    stability_bonus_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(10.0))
+    control_smoothness_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(5.0))
+    altitude_maintenance_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(5.0))
+    crash_penalty: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(-1000.0))
+    excessive_tilt_threshold: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.52))
+    excessive_tilt_scale: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(-500.0))
+    saturation_threshold: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.9))
+    saturation_scale: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(-50.0))
+    gradient_penalty: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
+    diversity_bonus: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.05))
+    clip_min: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(-1000.0))
+    clip_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(200.0))
+    target_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0))
+    variance_window: int = struct.field(pytree_node=False, default=10)
+
+
+@struct.dataclass
+class TerminationConfig:
+    """Termination thresholds (ref _check_termination :697-721, crash at :632)."""
+
+    crash_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
+    max_tilt: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.52))
+    max_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(20.0))
+    max_horizontal_distance: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(50.0))
+
+
+@struct.dataclass
+class EnvParams:
+    """Full environment configuration (one pytree; replicate or override)."""
+
+    rocket: RocketParams = struct.field(default_factory=RocketParams)
+    randomization: RandomizationConfig = struct.field(default_factory=RandomizationConfig)
+    success: SuccessConfig = struct.field(default_factory=SuccessConfig)
+    reward: RewardConfig = struct.field(default_factory=RewardConfig)
+    termination: TerminationConfig = struct.field(default_factory=TerminationConfig)
+    max_episode_steps: int = struct.field(pytree_node=False, default=1000)
+    init_pos: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    )
+
+
+@struct.dataclass
+class EnvState:
+    """Per-environment mutable state (batch axis = many rockets)."""
+
+    body: RigidBodyState
+    fuel: jnp.ndarray            # remaining fuel fraction [0, 1]
+    step_count: jnp.ndarray      # i32
+    phase: jnp.ndarray           # i32, PHASE_* index
+    mission_success: jnp.ndarray  # bool
+    success_count: jnp.ndarray   # i32, consecutive steps with all criteria met
+    prev_action: jnp.ndarray     # (2,) for control-smoothness reward
+    has_prev_action: jnp.ndarray  # bool (first-step smoothness = 1.0, ref :170-179)
+    reward_window: jnp.ndarray   # (variance_window,) rolling recent rewards
+    reward_window_len: jnp.ndarray  # i32, #valid entries in the window
+    dr: DomainParams
+    key: jnp.ndarray             # per-env PRNG key (sensor noise, next reset)
+
+
+@struct.dataclass
+class StepOutput:
+    """Everything step() produces besides the new state."""
+
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    terminated: jnp.ndarray
+    truncated: jnp.ndarray
+    # diagnostics (flat scalars so they stack cleanly under scan/vmap)
+    altitude: jnp.ndarray
+    tilt: jnp.ndarray
+    angular_velocity_mag: jnp.ndarray
+    fuel: jnp.ndarray
+    phase: jnp.ndarray
+    mission_success: jnp.ndarray
+    crashed: jnp.ndarray
+    reward_components: dict[str, jnp.ndarray]

@@ -1,0 +1,134 @@
+"""Adaptive staged curriculum — stage conditions actually applied.
+
+The reference's ``CurriculumManager`` (scripts/curriculum_manager.py:30-376)
+had two wiring bugs (SURVEY §2.5): the trainer called
+``update(success_rate, info)`` against signature ``update(step, metrics)``,
+and the per-stage environment config was never pushed into the env. Here the
+manager produces a fresh ``EnvParams`` pytree per stage (wind, mass
+variation, initial tilt, sensor noise, gimbal limit — config.yaml:236-286)
+and the trainer re-binds its jitted loop to it on promotion (shapes are
+unchanged, so promotion costs nothing but the already-cached compile).
+
+Promotion rule (ref :248-307): at least ``min_stage_fraction`` of the
+stage's episode budget must have elapsed AND the rolling success rate must
+beat the stage threshold.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import deque
+from pathlib import Path
+
+from tvc_ai_tpu.config.schema import CurriculumConfig, CurriculumStage, FrameworkConfig
+
+
+class CurriculumManager:
+    def __init__(self, cfg: FrameworkConfig):
+        self.cfg = cfg
+        self.cur: CurriculumConfig = cfg.curriculum
+        self.stage_idx = 0
+        self.episodes_in_stage = 0
+        self.success_window: deque[float] = deque(maxlen=self.cur.stability_window)
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------ queries
+    @property
+    def enabled(self) -> bool:
+        return self.cur.enabled and len(self.cur.stages) > 0
+
+    @property
+    def stage(self) -> CurriculumStage:
+        return self.cur.stages[min(self.stage_idx, len(self.cur.stages) - 1)]
+
+    @property
+    def finished(self) -> bool:
+        return self.stage_idx >= len(self.cur.stages)
+
+    def get_environment_config(self) -> CurriculumStage | None:
+        """Stage overlay for ``config.build.build_env_params`` (or None)."""
+        if not self.enabled or self.finished:
+            return None
+        return self.stage
+
+    def get_adaptive_hyperparameters(self) -> dict:
+        """Per-stage hyperparameters (ref curriculum_manager.py:330-356)."""
+        schedule = [
+            {"batch_size": 128, "train_freq": 4, "exploration_noise": 0.3},
+            {"batch_size": 256, "train_freq": 8, "exploration_noise": 0.2},
+            {"batch_size": 512, "train_freq": 10, "exploration_noise": 0.1},
+        ]
+        tier = min(self.stage_idx * len(schedule) // max(len(self.cur.stages), 1),
+                   len(schedule) - 1)
+        return schedule[tier]
+
+    # ------------------------------------------------------------ updates
+    def update(self, episodes_finished: int, success_rate: float) -> bool:
+        """Feed rolling stats; returns True if the stage advanced.
+
+        Signature fixed vs the reference's step/success_rate confusion:
+        callers pass the number of episodes finished since last update and
+        the success rate over them.
+        """
+        if not self.enabled or self.finished:
+            return False
+        self.episodes_in_stage += int(episodes_finished)
+        if episodes_finished > 0:
+            self.success_window.append(float(success_rate))
+        if self.should_advance_stage():
+            self.advance_stage()
+            return True
+        return False
+
+    def should_advance_stage(self) -> bool:
+        if self.finished:
+            return False
+        stage = self.stage
+        if self.episodes_in_stage < stage.episodes * self.cur.min_stage_fraction:
+            return False
+        if len(self.success_window) < max(3, self.cur.stability_window // 10):
+            return False
+        import numpy as np
+
+        rolling = float(np.mean(self.success_window))
+        # hard cap: stage exhausted its budget → move on regardless
+        if self.episodes_in_stage >= stage.episodes * 2:
+            return True
+        return rolling >= stage.success_threshold
+
+    def advance_stage(self) -> None:
+        self.history.append(
+            {
+                "stage": self.stage.name,
+                "episodes": self.episodes_in_stage,
+                "final_success": (
+                    float(sum(self.success_window) / len(self.success_window))
+                    if self.success_window
+                    else 0.0
+                ),
+            }
+        )
+        self.stage_idx += 1
+        self.episodes_in_stage = 0
+        self.success_window.clear()
+
+    # ------------------------------------------------------------ persistence
+    def state_dict(self) -> dict:
+        return {
+            "stage_idx": self.stage_idx,
+            "episodes_in_stage": self.episodes_in_stage,
+            "success_window": list(self.success_window),
+            "history": self.history,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.stage_idx = int(d.get("stage_idx", 0))
+        self.episodes_in_stage = int(d.get("episodes_in_stage", 0))
+        self.success_window = deque(
+            d.get("success_window", []), maxlen=self.cur.stability_window
+        )
+        self.history = list(d.get("history", []))
+
+    def save_curriculum_data(self, path) -> None:
+        """Stats JSON, like the reference's save_curriculum_data (:358-376)."""
+        Path(path).write_text(json.dumps(self.state_dict(), indent=2))

@@ -1,0 +1,242 @@
+"""Fused rollout + update loop: sim and learning in ONE XLA program.
+
+The reference's hot loop crosses the Python↔C++ boundary twice per env step
+(PyBullet step + torch update, scripts/train.py:546-591, ~1.2k steps/s).
+Here a whole training *iteration* — T env steps × N envs, replay writes,
+samples, and SAC gradient steps — is a single ``lax.scan`` under ``jit``:
+zero host round-trips, everything resident in HBM.
+
+Layout choices for TPU:
+- env state is a pytree with leading axis N (vmap) — elementwise physics on
+  the VPU, policy/critic matmuls batched (N, obs_dim)×(obs_dim, H) on the MXU;
+- the replay buffer is donated so XLA updates it in place;
+- update cadence is a static Python int (``updates_per_step``) so the scan
+  body has fixed shape; the learning_starts gate is a ``lax.cond``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tvc_ai_tpu.agents import replay as replay_mod
+from tvc_ai_tpu.agents import sac as sac_mod
+from tvc_ai_tpu.env import rocket_env
+from tvc_ai_tpu.env.types import ACTION_DIM, OBS_DIM, EnvParams, EnvState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainLoopConfig:
+    """Static shape/cadence parameters of the fused loop."""
+
+    num_envs: int = 4096
+    rollout_steps: int = 100        # env steps per jitted iteration (scan length)
+    updates_per_step: int = 1       # SAC gradient steps per env step
+    obs_dim: int = OBS_DIM
+    action_dim: int = ACTION_DIM
+
+
+@struct.dataclass
+class TrainCarry:
+    """Everything the fused loop threads through scan iterations."""
+
+    env_states: EnvState            # batched (N, ...)
+    obs: jnp.ndarray                # (N, obs_dim) current policy observations
+    agent: sac_mod.SACState
+    buffer: replay_mod.ReplayBuffer
+    key: jnp.ndarray
+    # Per-env counters — kept as (N,) arrays (not scalars) so every
+    # env-indexed leaf shards uniformly along the data axis under shard_map.
+    env_steps: jnp.ndarray          # (N,) i32 steps taken by each env slot
+    episodes: jnp.ndarray           # (N,) i32 finished episodes per slot
+    successes: jnp.ndarray          # (N,) i32 successful episodes per slot
+    ep_return: jnp.ndarray          # (N,) running per-env episode return
+    ep_length: jnp.ndarray          # (N,) running per-env episode length
+    return_sum: jnp.ndarray         # (N,) sum of finished-episode returns
+    length_sum: jnp.ndarray         # (N,) sum of finished-episode lengths
+
+
+def init_carry(
+    key: jnp.ndarray,
+    env_params: EnvParams,
+    sac_cfg: sac_mod.SACConfig,
+    loop_cfg: TrainLoopConfig,
+) -> TrainCarry:
+    k_env, k_agent, k_loop = jax.random.split(key, 3)
+    env_keys = jax.random.split(k_env, loop_cfg.num_envs)
+    env_states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
+        env_keys, env_params
+    )
+    agent = sac_mod.init(k_agent, loop_cfg.obs_dim, loop_cfg.action_dim, sac_cfg)
+    example = {
+        "obs": jnp.zeros(loop_cfg.obs_dim, jnp.float32),
+        "action": jnp.zeros(loop_cfg.action_dim, jnp.float32),
+        "reward": jnp.float32(0.0),
+        "next_obs": jnp.zeros(loop_cfg.obs_dim, jnp.float32),
+        "done": jnp.float32(0.0),
+    }
+    capacity = sac_cfg.buffer_size - (sac_cfg.buffer_size % loop_cfg.num_envs)
+    capacity = max(capacity, loop_cfg.num_envs)
+    buffer = replay_mod.ReplayBuffer.create(capacity, example)
+    zeros_f = jnp.zeros(loop_cfg.num_envs, jnp.float32)
+    zeros_i = jnp.zeros(loop_cfg.num_envs, jnp.int32)
+    return TrainCarry(
+        env_states=env_states,
+        obs=obs,
+        agent=agent,
+        buffer=buffer,
+        key=k_loop,
+        env_steps=zeros_i,
+        episodes=zeros_i,
+        successes=zeros_i,
+        ep_return=zeros_f,
+        ep_length=zeros_i,
+        return_sum=zeros_f,
+        length_sum=zeros_f,
+    )
+
+
+def make_train_iteration(
+    env_params: EnvParams,
+    sac_cfg: sac_mod.SACConfig,
+    loop_cfg: TrainLoopConfig,
+    axis_name: str | None = None,
+):
+    """Build the jittable ``carry -> (carry, metrics)`` iteration function.
+
+    ``axis_name`` enables data-parallel gradient pmean when the iteration is
+    wrapped in ``shard_map`` over a device mesh (see ``parallel``).
+    """
+    batched_step = jax.vmap(rocket_env.step_autoreset, in_axes=(0, 0, None))
+
+    def env_and_learn_step(carry: TrainCarry, _: Any):
+        key = carry.key
+        if axis_name is not None:
+            # decorrelate action noise / replay sampling across shards
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_act, k_sample, k_update, k_next = jax.random.split(key, 4)
+        if axis_name is not None:
+            # carry forward the *shared* chain so all shards stay in lockstep
+            (k_next,) = jax.random.split(carry.key, 1)
+
+        # --- act & simulate (N envs, one fused step)
+        actions = sac_mod.select_action(
+            carry.agent, carry.obs, k_act, sac_cfg, loop_cfg.action_dim
+        )
+        env_states, out, next_obs = batched_step(
+            carry.env_states, actions, env_params
+        )
+
+        # --- replay write (terminated-only done: truncation bootstraps)
+        transitions = {
+            "obs": carry.obs,
+            "action": actions,
+            "reward": out.reward,
+            "next_obs": out.obs,
+            "done": out.terminated.astype(jnp.float32),
+        }
+        buffer = replay_mod.add_batch(carry.buffer, transitions)
+
+        # --- learn (static number of updates; gated on learning_starts)
+        def do_updates(args):
+            agent, key = args
+            def one_update(agent_key, _):
+                agent, key = agent_key
+                k_s, k_u, key = jax.random.split(key, 3)
+                batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
+                agent, metrics = sac_mod.update(
+                    agent, batch, k_u, sac_cfg,
+                    loop_cfg.obs_dim, loop_cfg.action_dim, axis_name,
+                )
+                return (agent, key), metrics
+            (agent, _), metrics = jax.lax.scan(
+                one_update, (agent, key), None, length=loop_cfg.updates_per_step
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+            if axis_name is not None:
+                # device-mean inside the branch so both cond branches produce
+                # invariant (replicated) metric types under shard_map
+                metrics = jax.lax.pmean(metrics, axis_name)
+            return agent, metrics
+
+        def no_updates(args):
+            agent, _ = args
+            zero = jnp.float32(0.0)
+            return agent, {
+                "critic_loss": zero, "actor_loss": zero, "alpha_loss": zero,
+                "alpha": jnp.exp(agent.log_alpha), "q1_mean": zero,
+                "q2_mean": zero, "entropy": zero,
+            }
+
+        agent, upd_metrics = jax.lax.cond(
+            buffer.size >= sac_cfg.learning_starts,
+            do_updates,
+            no_updates,
+            (carry.agent, k_update),
+        )
+
+        # --- episode bookkeeping (all on-device, per-env arrays)
+        done = out.terminated | out.truncated
+        ep_return = carry.ep_return + out.reward
+        ep_length = carry.ep_length + 1
+        episodes = carry.episodes + done.astype(jnp.int32)
+        successes = carry.successes + (done & out.mission_success).astype(jnp.int32)
+        return_sum = carry.return_sum + jnp.where(done, ep_return, 0.0)
+        length_sum = carry.length_sum + jnp.where(
+            done, ep_length.astype(jnp.float32), 0.0
+        )
+        ep_return = jnp.where(done, 0.0, ep_return)
+        ep_length = jnp.where(done, 0, ep_length)
+
+        new_carry = TrainCarry(
+            env_states=env_states,
+            obs=next_obs,
+            agent=agent,
+            buffer=buffer,
+            key=k_next,
+            env_steps=carry.env_steps + 1,
+            episodes=episodes,
+            successes=successes,
+            ep_return=ep_return,
+            ep_length=ep_length,
+            return_sum=return_sum,
+            length_sum=length_sum,
+        )
+        reward_mean = jnp.mean(out.reward)
+        done_frac = jnp.mean(done.astype(jnp.float32))
+        if axis_name is not None:
+            reward_mean = jax.lax.pmean(reward_mean, axis_name)
+            done_frac = jax.lax.pmean(done_frac, axis_name)
+        step_metrics = dict(
+            upd_metrics, reward_mean=reward_mean, done_frac=done_frac
+        )
+        return new_carry, step_metrics
+
+    def train_iteration(carry: TrainCarry):
+        carry, metrics = jax.lax.scan(
+            env_and_learn_step, carry, None, length=loop_cfg.rollout_steps
+        )
+        return carry, jax.tree.map(jnp.mean, metrics)
+
+    return train_iteration
+
+
+def summarize(carry: TrainCarry) -> dict[str, float]:
+    """Host-side snapshot of the on-device counters (one transfer).
+
+    Works on both single-host and mesh-sharded carries: counters are (N,)
+    per-env arrays, so summing pulls the global totals regardless of layout.
+    """
+    eps = max(int(jnp.sum(carry.episodes)), 1)
+    return {
+        "env_steps": int(jnp.sum(carry.env_steps)),
+        "episodes": int(jnp.sum(carry.episodes)),
+        "success_rate": float(jnp.sum(carry.successes)) / eps,
+        "mean_episode_return": float(jnp.sum(carry.return_sum)) / eps,
+        "mean_episode_length": float(jnp.sum(carry.length_sum)) / eps,
+        "buffer_size": int(carry.buffer.size),
+    }
