@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Evaluate a trained agent over the Standard / Robustness / Stress suites.
+
+Reference-compatible CLI shape (scripts/evaluate.py:611-710) on the batched
+TPU rollout core: each suite runs all episodes in one device call.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description="TVC-AI-TPU evaluation")
+    parser.add_argument("--model_path", type=str, required=True,
+                        help="msgpack file (SACAgent.save) or orbax ckpt dir")
+    parser.add_argument("--output_dir", type=str, default="evaluation_output")
+    parser.add_argument("--obs_dim", type=int, default=10)
+    parser.add_argument("--action_dim", type=int, default=2)
+    parser.add_argument("--hidden", type=int, nargs="*", default=[256, 256])
+    parser.add_argument("--episodes_scale", type=float, default=1.0,
+                        help="scale the per-suite episode counts")
+    parser.add_argument("--suite", choices=["standard", "robustness", "stress",
+                                            "all"], default="all")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tvc_ai_tpu.agents.sac import SACConfig
+    from tvc_ai_tpu.eval.evaluate import (
+        SUITE_EPISODES,
+        load_agent_state,
+        run_all_suites,
+        run_suite,
+        write_episode_csv,
+    )
+
+    sac_cfg = SACConfig(hidden_dims=tuple(args.hidden))
+    agent_state = load_agent_state(
+        args.model_path, args.obs_dim, args.action_dim, sac_cfg
+    )
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if args.suite == "all":
+        results = run_all_suites(
+            agent_state, sac_cfg, out, args.episodes_scale, args.seed
+        )
+    else:
+        episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
+        result = run_suite(agent_state, sac_cfg, args.suite, episodes, args.seed)
+        write_episode_csv(result, out / f"{args.suite}_episodes.csv")
+        results = {args.suite: result}
+
+    for name, result in results.items():
+        m = result.metrics
+        print(
+            f"{name:>10}: success {m['eval_success_rate']:.2%} "
+            f"(legacy criterion {m['eval_legacy_success_rate']:.2%}) "
+            f"reward {m['eval_reward_mean']:.1f}±{m['eval_reward_std']:.1f} "
+            f"crash {m['eval_crash_rate']:.2%} "
+            f"p50 {m['eval_reward_p50']:.1f} p95 {m['eval_reward_p95']:.1f}"
+        )
+    print(f"artifacts: {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

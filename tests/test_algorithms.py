@@ -1,0 +1,197 @@
+"""PPO / TD3 / ensemble unit + integration tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvc_ai_tpu.agents import ppo as ppo_mod
+from tvc_ai_tpu.agents import td3 as td3_mod
+from tvc_ai_tpu.agents.ensemble import (
+    EnsembleConfig,
+    MultiAlgorithmAgent,
+    init_carry,
+    make_ensemble_iteration,
+)
+from tvc_ai_tpu.agents.sac import SACConfig
+from tvc_ai_tpu.env.types import OBS_DIM, EnvParams
+
+A = 2
+
+
+def small_ensemble_cfg():
+    return EnsembleConfig(
+        sac=SACConfig(hidden_dims=(32, 32), batch_size=16, buffer_size=4096,
+                      learning_starts=64),
+        td3=td3_mod.TD3Config(hidden_dims=(32, 32), batch_size=16),
+        ppo=ppo_mod.PPOConfig(hidden_dims=(32, 32), n_epochs=2,
+                              num_minibatches=2),
+    )
+
+
+# ------------------------------------------------------------------- TD3
+
+
+def test_td3_action_bounds_and_noise():
+    cfg = td3_mod.TD3Config(hidden_dims=(32, 32))
+    state = td3_mod.init(jax.random.PRNGKey(0), OBS_DIM, A, cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (16, OBS_DIM))
+    det = td3_mod.select_action(state, obs, jax.random.PRNGKey(2), cfg, A, True)
+    sto = td3_mod.select_action(state, obs, jax.random.PRNGKey(3), cfg, A, False)
+    assert np.all(np.abs(np.asarray(sto)) <= 1.0)
+    assert not np.allclose(det, sto)
+
+
+def test_td3_delayed_policy_update():
+    cfg = td3_mod.TD3Config(hidden_dims=(16, 16), policy_delay=2)
+    state = td3_mod.init(jax.random.PRNGKey(0), OBS_DIM, A, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    batch = {
+        "obs": jax.random.normal(ks[0], (8, OBS_DIM)),
+        "action": jax.random.uniform(ks[1], (8, A), minval=-1, maxval=1),
+        "reward": jax.random.normal(ks[2], (8,)),
+        "next_obs": jax.random.normal(ks[3], (8, OBS_DIM)),
+        "done": jnp.zeros(8),
+    }
+    p0 = jax.tree.leaves(state.actor_params)
+    # step 0 → (0+1)%2 != 0 → actor frozen
+    state, m = td3_mod.update(state, batch, ks[4], cfg, OBS_DIM, A)
+    p1 = jax.tree.leaves(state.actor_params)
+    assert all(np.allclose(a, b) for a, b in zip(p0, p1))
+    assert float(m["actor_loss"]) == 0.0
+    # step 1 → (1+1)%2 == 0 → actor updates
+    state, m = td3_mod.update(state, batch, ks[4], cfg, OBS_DIM, A)
+    p2 = jax.tree.leaves(state.actor_params)
+    assert any(not np.allclose(a, b) for a, b in zip(p1, p2))
+    assert np.isfinite(float(m["critic_loss"]))
+
+
+# ------------------------------------------------------------------- PPO
+
+
+def test_ppo_gae_matches_manual():
+    rewards = jnp.array([[1.0], [1.0], [1.0]])
+    values = jnp.array([[0.5], [0.5], [0.5]])
+    dones = jnp.zeros((3, 1))
+    last_value = jnp.array([0.5])
+    adv, ret = ppo_mod.compute_gae(rewards, values, dones, last_value, 0.99, 0.95)
+    # manual reverse recursion
+    g = 0.0
+    expected = []
+    nv = 0.5
+    for r, v in zip([1.0, 1.0, 1.0][::-1], [0.5, 0.5, 0.5][::-1]):
+        delta = r + 0.99 * nv - v
+        g = delta + 0.99 * 0.95 * g
+        expected.append(g)
+        nv = v
+    expected = expected[::-1]
+    assert np.allclose(np.asarray(adv)[:, 0], expected, atol=1e-5)
+    assert np.allclose(np.asarray(ret), np.asarray(adv) + np.asarray(values))
+
+
+def test_ppo_gae_resets_at_done():
+    rewards = jnp.array([[1.0], [1.0]])
+    values = jnp.array([[0.0], [0.0]])
+    dones = jnp.array([[1.0], [0.0]])  # first step terminates
+    last_value = jnp.array([10.0])
+    adv, _ = ppo_mod.compute_gae(rewards, values, dones, last_value, 0.99, 0.95)
+    # step 0 advantage must not bootstrap through the done
+    assert float(adv[0, 0]) == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.integration
+def test_ppo_fused_iteration_trains():
+    cfg = ppo_mod.PPOConfig(hidden_dims=(32, 32), n_epochs=2, num_minibatches=2)
+    env_params = EnvParams()
+    num_envs, T = 8, 16
+    from tvc_ai_tpu.env import rocket_env
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    env_states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
+        keys, env_params
+    )
+    state = ppo_mod.init(jax.random.PRNGKey(1), OBS_DIM, A, cfg)
+    it = jax.jit(
+        ppo_mod.make_train_iteration(cfg, num_envs, T, OBS_DIM, A)
+    )
+    p0 = jax.tree.leaves(state.actor_params)
+    state, env_states, obs, key, metrics = it(
+        state, env_states, obs, jax.random.PRNGKey(2), env_params
+    )
+    p1 = jax.tree.leaves(state.actor_params)
+    assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["clip_fraction"]) >= 0.0
+
+
+# -------------------------------------------------------------- ensemble
+
+
+def test_selection_strategies():
+    agent = MultiAlgorithmAgent(config=small_ensemble_cfg())
+    # empty history → defaults to ppo
+    assert agent.select_algorithm() == "ppo"
+    agent.update_performance("sac", 100.0)
+    agent.update_performance("ppo", 1.0)
+    assert agent.select_algorithm() == "sac"
+    # voting strategy always returns ensemble
+    import dataclasses
+
+    agent2 = MultiAlgorithmAgent(
+        config=dataclasses.replace(
+            small_ensemble_cfg(), selection_strategy="voting"
+        )
+    )
+    assert agent2.select_algorithm() == "ensemble"
+
+
+def test_weights_follow_performance():
+    agent = MultiAlgorithmAgent(config=small_ensemble_cfg())
+    for _ in range(10):
+        agent.update_performance("sac", 100.0)
+        agent.update_performance("td3", -100.0)
+        agent.update_performance("ppo", 0.0)
+    assert agent.algorithm_weights["sac"] > agent.algorithm_weights["td3"]
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("actor", ["sac", "ppo", "ensemble"])
+def test_ensemble_iteration_runs(actor):
+    cfg = small_ensemble_cfg()
+    env_params = EnvParams()
+    carry = init_carry(jax.random.PRNGKey(0), env_params, cfg, num_envs=8)
+    it = jax.jit(
+        make_ensemble_iteration(actor, cfg, num_envs=8, rollout_steps=8)
+    )
+    weights = jnp.ones(3)
+    carry, metrics = it(carry, weights, env_params)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(jnp.sum(carry.env_steps)) == 64
+    if actor == "ppo":
+        assert "ppo_policy_loss" in metrics
+
+
+@pytest.mark.integration
+def test_ensemble_agent_get_action_and_checkpoint(tmp_path):
+    cfg = small_ensemble_cfg()
+    env_params = EnvParams()
+    agent = MultiAlgorithmAgent(config=cfg)
+    agent.attach_carry(init_carry(jax.random.PRNGKey(0), env_params, cfg, 4))
+    obs = np.zeros(OBS_DIM, np.float32)
+    action, info = agent.get_action(obs)
+    assert action.shape == (A,)
+    assert info["algorithm"] in ("ppo", "sac", "td3", "ensemble")
+    agent.update_performance("sac", 50.0)
+    path = tmp_path / "ensemble.msgpack"
+    agent.save_checkpoint(path)
+    agent2 = MultiAlgorithmAgent(config=cfg)
+    agent2.attach_carry(init_carry(jax.random.PRNGKey(1), env_params, cfg, 4))
+    agent2.load_checkpoint(path)
+    for a, b in zip(
+        jax.tree.leaves(agent.carry.sac.actor_params),
+        jax.tree.leaves(agent2.carry.sac.actor_params),
+    ):
+        assert np.allclose(a, b)
+    assert list(agent2.performance_history["sac"]) == [50.0]

@@ -20,14 +20,14 @@ def test_fused_train_iteration():
         num_envs=8, rollout_steps=16, updates_per_step=1
     )
     carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
-    it = jax.jit(loop_mod.make_train_iteration(env_params, sac_cfg, loop_cfg))
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
 
-    carry, metrics = it(carry)
+    carry, metrics = it(carry, env_params)
     assert int(jnp.sum(carry.env_steps)) == 8 * 16
     assert np.isfinite(float(metrics["reward_mean"]))
 
     p0 = jax.tree.leaves(carry.agent.actor_params)
-    carry, metrics = it(carry)
+    carry, metrics = it(carry, env_params)
     # after learning_starts, updates actually happen and params move
     assert int(carry.buffer.size) >= 64
     p1 = jax.tree.leaves(carry.agent.actor_params)

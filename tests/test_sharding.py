@@ -28,7 +28,7 @@ def test_sharded_train_runs_and_replicates_params():
     assert carry.obs.shape == (32, loop_cfg.obs_dim)
 
     for _ in range(2):
-        carry, metrics = train_fn(carry)
+        carry, metrics = train_fn(carry, env_params)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
 

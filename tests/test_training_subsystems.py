@@ -1,0 +1,261 @@
+"""Host-side subsystem tests: curriculum, hacking, stability, ckpt, viz, HPO."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvc_ai_tpu.config.schema import FrameworkConfig
+from tvc_ai_tpu.training.curriculum import CurriculumManager
+from tvc_ai_tpu.training.hacking import RewardHackingDetector
+from tvc_ai_tpu.training.stability import (
+    StabilityConfig,
+    TrainingStabilityManager,
+    adaptive_tau,
+    make_lr_schedule,
+    primacy_reset,
+    reinit_dormant_units,
+)
+
+
+# ------------------------------------------------------------- curriculum
+
+
+def test_curriculum_advances_on_success():
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    stage0 = cm.stage.name
+    # half the stage budget with high success → advance
+    advanced = False
+    for _ in range(30):
+        if cm.update(episodes_finished=10, success_rate=0.95):
+            advanced = True
+            break
+    assert advanced
+    assert cm.stage.name != stage0
+    assert cm.history[0]["stage"] == stage0
+
+
+def test_curriculum_stalls_without_success():
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    budget = cm.stage.episodes
+    for _ in range(10):
+        cm.update(episodes_finished=budget // 10, success_rate=0.0)
+    # only the 2x-budget hard cap can advance; at exactly 1x it must not
+    assert cm.stage_idx == 0
+
+
+def test_curriculum_env_overlay():
+    from tvc_ai_tpu.config.build import build_env_params
+
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    p0 = build_env_params(cfg, cm.get_environment_config())
+    cm.advance_stage()
+    cm.advance_stage()
+    p2 = build_env_params(cfg, cm.get_environment_config())
+    assert float(p2.randomization.wind_max) > float(p0.randomization.wind_max)
+    assert float(p2.randomization.init_tilt_max) > float(
+        p0.randomization.init_tilt_max
+    )
+    # shapes identical → no recompile on promotion
+    assert jax.tree.structure(p0) == jax.tree.structure(p2)
+
+
+def test_curriculum_state_roundtrip():
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    cm.update(50, 0.5)
+    state = cm.state_dict()
+    cm2 = CurriculumManager(cfg)
+    cm2.load_state_dict(state)
+    assert cm2.episodes_in_stage == cm.episodes_in_stage
+    assert list(cm2.success_window) == list(cm.success_window)
+
+
+# ---------------------------------------------------------------- hacking
+
+
+def test_hacking_detects_impossible_performance():
+    det = RewardHackingDetector(window_size=50)
+    for _ in range(50):
+        det.add_episode(reward=3522.56, success=False, length=1349 % 1000)
+    report = det.detect_hacking()
+    assert report.indicators["impossible_performance"] == 1.0
+    # score is the MEAN of 5 indicators (reference semantics) → 1/5 here
+    assert report.score >= 0.2
+
+
+def test_hacking_clean_training_low_score():
+    det = RewardHackingDetector(window_size=50)
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        det.add_episode(
+            reward=100 + i * 2 + rng.normal(0, 5),
+            success=i > 25,
+            length=400,
+        )
+    report = det.detect_hacking()
+    assert not report.is_hacking
+
+
+def test_hacking_timeout_farming():
+    det = RewardHackingDetector(window_size=50)
+    for _ in range(50):
+        det.add_episode(reward=50.0, success=False, length=980)
+    report = det.detect_hacking()
+    assert report.indicators["long_episodes_no_success"] == 1.0
+
+
+# -------------------------------------------------------------- stability
+
+
+def test_lr_schedules():
+    cfg = StabilityConfig()
+    for kind in ("linear", "exponential", "cosine", "warmup_cosine", "plateau"):
+        import dataclasses
+
+        sched = make_lr_schedule(
+            dataclasses.replace(cfg, scheduler_type=kind), 1e-3, 100_000
+        )
+        v0, v_mid, v_end = (
+            float(sched(0)), float(sched(50_000)), float(sched(99_999))
+        )
+        assert v0 >= 0 and v_mid >= 0 and v_end >= 0
+        assert v_end <= 1e-3 + 1e-9
+    # warmup starts low
+    sched = make_lr_schedule(cfg, 1e-3, 100_000)
+    assert float(sched(0)) == pytest.approx(1e-4, rel=0.01)
+
+
+def test_adaptive_tau_decays():
+    cfg = StabilityConfig()
+    t0 = float(adaptive_tau(cfg, jnp.int32(0)))
+    t1 = float(adaptive_tau(cfg, jnp.int32(10_000)))
+    assert t0 == pytest.approx(cfg.tau_max)
+    assert cfg.tau_min <= t1 < t0
+
+
+def test_primacy_reset_mixes_params():
+    key = jax.random.PRNGKey(0)
+    params = {"w": jnp.ones((64, 64)), "b": jnp.ones(64)}
+    initial = {"w": jnp.zeros((64, 64)), "b": jnp.zeros(64)}
+    mixed = primacy_reset(params, initial, key, ratio=0.05)
+    frac_reset = float(jnp.mean(mixed["w"] == 0.0))
+    assert 0.01 < frac_reset < 0.12  # ≈5%
+
+
+def test_dormant_reinit_revives_dead_units():
+    key = jax.random.PRNGKey(0)
+    kernel = jax.random.normal(key, (10, 32))
+    kernel = kernel.at[:, :8].set(0.0)  # 8 dead units
+    params = {"params": {"hidden_0": {"kernel": kernel, "bias": jnp.zeros(32)}}}
+    probe = jax.random.normal(jax.random.PRNGKey(1), (64, 10))
+    new = reinit_dormant_units(
+        None, params, probe, jax.random.PRNGKey(2), threshold=0.01, max_ratio=0.5
+    )
+    new_kernel = new["params"]["hidden_0"]["kernel"]
+    # dead columns got fresh weights, live columns untouched
+    assert float(jnp.abs(new_kernel[:, :8]).sum()) > 0.0
+    assert np.allclose(new_kernel[:, 8:], kernel[:, 8:])
+
+
+def test_stability_manager_cadence():
+    cfg = StabilityConfig(reset_interval=100, dormant_check_interval=50)
+    mgr = TrainingStabilityManager(cfg, total_steps=10_000)
+    mgr.register_initial_params({"w": jnp.ones(4)})
+    assert not mgr.due_primacy_reset()
+    mgr.step(100)
+    assert mgr.due_primacy_reset()
+    assert not mgr.due_primacy_reset()  # resets its own clock
+    assert mgr.due_dormant_check()
+    assert mgr.should_stop_training(0.95)
+    assert not mgr.should_stop_training(0.5)
+
+
+# ----------------------------------------------------------- checkpointing
+
+
+@pytest.mark.integration
+def test_checkpoint_roundtrip(tmp_path):
+    from tvc_ai_tpu.agents.sac import SACConfig
+    from tvc_ai_tpu.env.types import EnvParams
+    from tvc_ai_tpu.training import loop as loop_mod
+    from tvc_ai_tpu.utils.checkpoint import CheckpointManager
+
+    sac_cfg = SACConfig(hidden_dims=(16, 16), buffer_size=256, batch_size=8,
+                        learning_starts=16)
+    loop_cfg = loop_mod.TrainLoopConfig(num_envs=4, rollout_steps=4)
+    carry = loop_mod.init_carry(
+        jax.random.PRNGKey(0), EnvParams(), sac_cfg, loop_cfg
+    )
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+    carry, _ = it(carry, EnvParams())
+
+    mngr = CheckpointManager(tmp_path / "ckpt")
+    mngr.save(100, carry, {"iteration": 3, "curriculum": {"stage_idx": 1}})
+    mngr.wait()
+    assert mngr.latest_step() == 100
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x,
+        carry,
+    )
+    restored, host = mngr.restore(abstract)
+    mngr.close()
+    assert host["iteration"] == 3
+    assert host["curriculum"]["stage_idx"] == 1
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+# -------------------------------------------------------------------- viz
+
+
+def test_visualize_from_csv(tmp_path):
+    from tvc_ai_tpu.viz.visualize import create_plots
+
+    csv_path = tmp_path / "metrics.csv"
+    rows = ["step,mean_episode_return,success_rate,critic_loss,alpha"]
+    for i in range(20):
+        rows.append(f"{i*100},{50+i},{i/20:.2f},{100-i},{0.2}")
+    csv_path.write_text("\n".join(rows))
+    artifacts = create_plots(tmp_path, tmp_path / "plots")
+    names = {a.name for a in artifacts}
+    assert "training_metrics.png" in names
+    assert "reward_analysis.png" in names
+
+
+def test_visualize_no_data(tmp_path):
+    from tvc_ai_tpu.viz.visualize import create_plots
+
+    artifacts = create_plots(tmp_path, tmp_path / "plots")
+    assert artifacts[0].name == "no_data_report.txt"
+
+
+# -------------------------------------------------------------------- hpo
+
+
+def test_hpo_fallback_study(tmp_path):
+    from tvc_ai_tpu.tuning.hpo import run_study
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        cat = trial.suggest_categorical("c", [1, 2, 3])
+        for step in range(3):
+            trial.report(x * 10 + cat, step)
+            if trial.should_prune():
+                from tvc_ai_tpu.tuning.hpo import Pruned
+
+                raise Pruned()
+        return x * 10 + cat
+
+    best, results = run_study(objective, n_trials=10, seed=0, output_dir=tmp_path)
+    assert len(results) == 10
+    assert best.value == max(r.value for r in results if not r.pruned)
+    assert (tmp_path / "trials.csv").exists()
+    assert json.loads((tmp_path / "best_params.json").read_text())["params"]

@@ -50,6 +50,16 @@ class SACConfig:
     gradient_clip_norm: float = 10.0
     action_noise: float = 0.0
     curriculum_learning: bool = False
+    # training-stability wiring (utils/training_stability.py capabilities,
+    # actually applied here unlike the reference — SURVEY §2.5)
+    lr_schedule: str = "constant"  # constant|linear|exponential|cosine|warmup_cosine
+    schedule_total_steps: int = 2_000_000
+    warmup_steps: int = 10_000
+    initial_lr_factor: float = 0.1
+    adaptive_tau: bool = False
+    tau_min: float = 0.001
+    tau_max: float = 0.01
+    tau_decay: float = 0.999
 
     def __post_init__(self):
         # legacy call sites pass hidden_dims as a list
@@ -79,8 +89,39 @@ class SACState:
     step: jnp.ndarray  # i32 update counter
 
 
-def _optim(lr: float, clip: float) -> optax.GradientTransformation:
-    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+def _optim(lr: float, cfg: "SACConfig") -> optax.GradientTransformation:
+    if cfg.lr_schedule == "constant":
+        schedule: optax.ScalarOrSchedule = lr
+    elif cfg.lr_schedule == "linear":
+        schedule = optax.linear_schedule(lr, 0.0, cfg.schedule_total_steps)
+    elif cfg.lr_schedule == "exponential":
+        schedule = optax.exponential_decay(
+            lr, max(cfg.schedule_total_steps // 10, 1), 0.5, staircase=True
+        )
+    elif cfg.lr_schedule == "cosine":
+        schedule = optax.cosine_decay_schedule(lr, cfg.schedule_total_steps)
+    elif cfg.lr_schedule == "warmup_cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=lr * cfg.initial_lr_factor,
+            peak_value=lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.schedule_total_steps, cfg.warmup_steps + 1),
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_norm), optax.adam(schedule)
+    )
+
+
+def effective_tau(cfg: "SACConfig", update_step: jnp.ndarray) -> jnp.ndarray:
+    """τ, optionally decaying τ_max → τ_min per update (ref stability :55-58)."""
+    if not cfg.adaptive_tau:
+        return jnp.float32(cfg.tau)
+    return jnp.maximum(
+        cfg.tau_min,
+        cfg.tau_max * cfg.tau_decay ** update_step.astype(jnp.float32),
+    )
 
 
 def make_networks(obs_dim: int, action_dim: int, cfg: SACConfig):
@@ -102,8 +143,8 @@ def init(key: jnp.ndarray, obs_dim: int, action_dim: int, cfg: SACConfig) -> SAC
         critic_params=critic_params,
         target_critic_params=jax.tree.map(jnp.copy, critic_params),
         log_alpha=log_alpha,
-        actor_opt=_optim(cfg.lr_actor, cfg.gradient_clip_norm).init(actor_params),
-        critic_opt=_optim(cfg.lr_critic, cfg.gradient_clip_norm).init(critic_params),
+        actor_opt=_optim(cfg.lr_actor, cfg).init(actor_params),
+        critic_opt=_optim(cfg.lr_critic, cfg).init(critic_params),
         alpha_opt=optax.adam(cfg.lr_alpha).init(log_alpha),
         step=jnp.int32(0),
     )
@@ -166,7 +207,7 @@ def update(
         critic_loss_fn, has_aux=True
     )(state.critic_params)
     critic_grads = maybe_pmean(critic_grads)
-    c_updates, critic_opt = _optim(cfg.lr_critic, cfg.gradient_clip_norm).update(
+    c_updates, critic_opt = _optim(cfg.lr_critic, cfg).update(
         critic_grads, state.critic_opt, state.critic_params
     )
     critic_params = optax.apply_updates(state.critic_params, c_updates)
@@ -184,7 +225,7 @@ def update(
         actor_loss_fn, has_aux=True
     )(state.actor_params)
     actor_grads = maybe_pmean(actor_grads)
-    a_updates, actor_opt = _optim(cfg.lr_actor, cfg.gradient_clip_norm).update(
+    a_updates, actor_opt = _optim(cfg.lr_actor, cfg).update(
         actor_grads, state.actor_opt, state.actor_params
     )
     actor_params = optax.apply_updates(state.actor_params, a_updates)
@@ -208,9 +249,10 @@ def update(
         alpha_opt = state.alpha_opt
         log_alpha = state.log_alpha
 
-    # ---- soft target update, τ=0.005 (ref :1004-1009)
+    # ---- soft target update, τ=0.005 (ref :1004-1009), optionally adaptive
+    tau = effective_tau(cfg, state.step)
     target_critic_params = jax.tree.map(
-        lambda t, o: t * (1.0 - cfg.tau) + o * cfg.tau,
+        lambda t, o: t * (1.0 - tau) + o * tau,
         state.target_critic_params,
         critic_params,
     )

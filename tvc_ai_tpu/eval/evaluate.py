@@ -1,0 +1,208 @@
+"""Evaluation suites: Standard / Robustness / Stress (+ plots, CSV).
+
+Mirrors scripts/evaluate.py's harness on the batched rollout core:
+
+- Standard: 100 episodes, no randomization, 2000-step horizon (ref :312-335)
+- Robustness: 200 episodes, domain randomization + sensor noise (ref :338-362)
+- Stress: 50 episodes, mass/thrust variation ±50 %, CG offset 0.1 m,
+  1500-step horizon (ref :365-391)
+
+Each suite is ONE device call (all episodes in parallel) instead of the
+reference's per-episode Python loop. Metrics include the reference's
+percentile set; outputs are a CSV per suite + an 8-panel dashboard PNG
+(ref create_enhanced_evaluation_plots :394-539).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc_ai_tpu.agents import sac as sac_mod
+from tvc_ai_tpu.env.types import EnvParams, RandomizationConfig
+from tvc_ai_tpu.env.wrappers import RocketConfig
+from tvc_ai_tpu.eval.rollout import EpisodeStats, make_eval_fn, summarize_stats
+
+
+@dataclasses.dataclass
+class SuiteResult:
+    name: str
+    stats: EpisodeStats
+    metrics: dict[str, float]
+
+
+def _suite_env_params(name: str) -> EnvParams:
+    if name == "standard":
+        return RocketConfig().to_env_params(
+            domain_randomization=False, sensor_noise=False, max_episode_steps=2000
+        )
+    if name == "robustness":
+        return RocketConfig().to_env_params(
+            domain_randomization=True, sensor_noise=True, max_episode_steps=1000
+        )
+    if name == "stress":
+        cfg = RocketConfig(
+            mass_variation=0.5, thrust_variation=0.5, cg_offset_max=0.1
+        )
+        return cfg.to_env_params(
+            domain_randomization=True, sensor_noise=True, max_episode_steps=1500
+        )
+    raise ValueError(f"unknown suite {name!r}")
+
+
+SUITE_EPISODES = {"standard": 100, "robustness": 200, "stress": 50}
+
+
+def run_suite(
+    agent_state: sac_mod.SACState,
+    sac_cfg: sac_mod.SACConfig,
+    name: str,
+    num_episodes: int | None = None,
+    seed: int = 0,
+) -> SuiteResult:
+    episodes = num_episodes or SUITE_EPISODES[name]
+    env_params = _suite_env_params(name)
+    eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes))
+    stats = eval_fn(agent_state, jax.random.PRNGKey(seed), env_params)
+    metrics = summarize_stats(stats)
+    # reference success criterion variant (scripts/evaluate.py:290-292):
+    # final tilt < 20°, length > 200, altitude > 0.5
+    legacy_success = (
+        (np.asarray(stats.max_tilt) < np.radians(20.0))
+        & (np.asarray(stats.lengths) > 200)
+        & (np.asarray(stats.final_altitude) > 0.5)
+    )
+    metrics["eval_legacy_success_rate"] = float(legacy_success.mean())
+    return SuiteResult(name=name, stats=stats, metrics=metrics)
+
+
+def run_all_suites(
+    agent_state: sac_mod.SACState,
+    sac_cfg: sac_mod.SACConfig,
+    output_dir: str | Path,
+    episodes_scale: float = 1.0,
+    seed: int = 0,
+) -> dict[str, SuiteResult]:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for name in ("standard", "robustness", "stress"):
+        episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
+        result = run_suite(agent_state, sac_cfg, name, episodes, seed)
+        results[name] = result
+        write_episode_csv(result, output_dir / f"{name}_episodes.csv")
+    (output_dir / "evaluation_summary.json").write_text(
+        json.dumps({k: v.metrics for k, v in results.items()}, indent=2)
+    )
+    try:
+        plot_dashboard(results, output_dir / "evaluation_dashboard.png")
+    except Exception:
+        pass
+    return results
+
+
+def write_episode_csv(result: SuiteResult, path: Path) -> None:
+    stats = result.stats
+    fields = EpisodeStats._fields
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(("episode",) + fields)
+        arrays = [np.asarray(getattr(stats, f)) for f in fields]
+        for i in range(len(arrays[0])):
+            writer.writerow([i] + [a[i].item() for a in arrays])
+
+
+def plot_dashboard(results: dict[str, SuiteResult], path: Path) -> None:
+    """8-panel evaluation dashboard (ref :394-539)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 4, figsize=(20, 9))
+    names = list(results)
+    colors = dict(zip(names, ("tab:blue", "tab:orange", "tab:red")))
+
+    def each(fn):
+        for name in names:
+            fn(name, results[name].stats)
+
+    ax = axes[0, 0]
+    each(lambda n, s: ax.hist(np.asarray(s.returns), bins=20, alpha=0.5,
+                              label=n, color=colors[n]))
+    ax.set_title("Episode reward distribution")
+    ax.legend()
+
+    ax = axes[0, 1]
+    ax.bar(names, [results[n].metrics["eval_success_rate"] for n in names],
+           color=[colors[n] for n in names])
+    ax.set_title("Success rate")
+    ax.set_ylim(0, 1)
+
+    ax = axes[0, 2]
+    each(lambda n, s: ax.hist(np.asarray(s.lengths), bins=20, alpha=0.5,
+                              color=colors[n]))
+    ax.set_title("Episode lengths")
+
+    ax = axes[0, 3]
+    ax.bar(names, [results[n].metrics["eval_crash_rate"] for n in names],
+           color=[colors[n] for n in names])
+    ax.set_title("Crash rate")
+    ax.set_ylim(0, 1)
+
+    ax = axes[1, 0]
+    each(lambda n, s: ax.hist(np.degrees(np.asarray(s.max_tilt)), bins=20,
+                              alpha=0.5, color=colors[n]))
+    ax.axvline(30, color="k", linestyle="--", label="termination 30°")
+    ax.set_title("Max tilt (deg)")
+    ax.legend()
+
+    ax = axes[1, 1]
+    each(lambda n, s: ax.hist(np.asarray(s.max_angular_velocity), bins=20,
+                              alpha=0.5, color=colors[n]))
+    ax.set_title("Max |ω| (rad/s)")
+
+    ax = axes[1, 2]
+    each(lambda n, s: ax.hist(np.asarray(s.mean_effort), bins=20, alpha=0.5,
+                              color=colors[n]))
+    ax.set_title("Mean control effort")
+
+    ax = axes[1, 3]
+    each(lambda n, s: ax.hist(np.asarray(s.fuel_used), bins=20, alpha=0.5,
+                              color=colors[n]))
+    ax.set_title("Fuel used")
+
+    for ax in axes.flat:
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def load_agent_state(
+    model_path: str | Path, obs_dim: int, action_dim: int, sac_cfg: sac_mod.SACConfig
+) -> sac_mod.SACState:
+    """Load from the legacy msgpack format or a trainer orbax checkpoint dir
+    (ref evaluate.py handles 3 legacy formats, :157-223)."""
+    from flax import serialization
+
+    path = Path(model_path)
+    template = sac_mod.init(jax.random.PRNGKey(0), obs_dim, action_dim, sac_cfg)
+    if path.is_file():
+        payload = serialization.msgpack_restore(path.read_bytes())
+        state_dict = payload.get("state", payload)
+        return serialization.from_state_dict(template, state_dict)
+    from tvc_ai_tpu.utils.checkpoint import CheckpointManager
+
+    mngr = CheckpointManager(path)
+    restored = mngr._mngr.restore(mngr.latest_step())
+    mngr.close()
+    agent_dict = restored["carry"]["agent"]
+    return serialization.from_state_dict(template, agent_dict)

@@ -1,0 +1,140 @@
+"""Batched deterministic evaluation — N episodes as one XLA program.
+
+The reference evaluates by looping Python episodes one at a time
+(scripts/train.py:645-700, scripts/evaluate.py:235-309). Here all episodes
+run simultaneously as a vmapped batch scanned to the horizon with
+done-freezing, so a 20-episode eval costs one device call. Per-episode
+statistics (return, length, success, crash, max tilt, mean control effort,
+final altitude) are returned as arrays; suite-level aggregation (means,
+percentiles) happens host-side in ``eval.evaluate``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tvc_ai_tpu.agents import sac as sac_mod
+from tvc_ai_tpu.env import rocket_env
+from tvc_ai_tpu.env.types import EnvParams
+
+
+class EpisodeStats(NamedTuple):
+    returns: jnp.ndarray        # (E,)
+    lengths: jnp.ndarray        # (E,) i32
+    success: jnp.ndarray        # (E,) bool
+    crashed: jnp.ndarray        # (E,) bool
+    max_tilt: jnp.ndarray       # (E,) rad
+    max_angular_velocity: jnp.ndarray  # (E,)
+    mean_effort: jnp.ndarray    # (E,)
+    final_altitude: jnp.ndarray  # (E,)
+    fuel_used: jnp.ndarray      # (E,)
+
+
+def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int = 2):
+    """Build jittable ``(agent_state, key, env_params) -> EpisodeStats``."""
+
+    batched_step = jax.vmap(rocket_env.step, in_axes=(0, 0, None))
+
+    def eval_fn(agent, key, env_params: EnvParams) -> EpisodeStats:
+        k_reset, k_act = jax.random.split(key)
+        keys = jax.random.split(k_reset, num_episodes)
+        states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
+            keys, env_params
+        )
+        zero = jnp.zeros(num_episodes, jnp.float32)
+        init = (
+            states, obs,
+            jnp.zeros(num_episodes, bool),   # done
+            zero,                            # return
+            jnp.zeros(num_episodes, jnp.int32),  # length
+            jnp.zeros(num_episodes, bool),   # success
+            jnp.zeros(num_episodes, bool),   # crashed
+            zero,                            # max tilt
+            zero,                            # max |ω|
+            zero,                            # effort sum
+            zero,                            # final altitude
+        )
+
+        def step_fn(carry, _):
+            (states, obs, done, ret, length, success, crashed,
+             max_tilt, max_w, effort_sum, final_alt) = carry
+            actions = sac_mod.select_action(
+                agent, obs, k_act, sac_cfg, action_dim, deterministic=True
+            )
+            new_states, out = batched_step(states, actions, env_params)
+            live = ~done
+            ret = ret + jnp.where(live, out.reward, 0.0)
+            length = length + live.astype(jnp.int32)
+            success = success | (live & out.mission_success)
+            crashed = crashed | (live & out.crashed)
+            max_tilt = jnp.maximum(max_tilt, jnp.where(live, out.tilt, 0.0))
+            max_w = jnp.maximum(
+                max_w, jnp.where(live, out.angular_velocity_mag, 0.0)
+            )
+            effort_sum = effort_sum + jnp.where(
+                live, jnp.linalg.norm(actions, axis=-1), 0.0
+            )
+            final_alt = jnp.where(live, out.altitude, final_alt)
+            new_done = done | out.terminated | out.truncated
+            # freeze finished episodes (carry old state where done)
+            states = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(
+                        done, done.shape + (1,) * (jnp.ndim(new) - 1)
+                    ),
+                    old,
+                    new,
+                ),
+                new_states,
+                states,
+            )
+            obs = jnp.where(done[:, None], obs, out.obs)
+            return (
+                states, obs, new_done, ret, length, success, crashed,
+                max_tilt, max_w, effort_sum, final_alt,
+            ), None
+
+        (states, obs, done, ret, length, success, crashed, max_tilt, max_w,
+         effort_sum, final_alt), _ = jax.lax.scan(
+            step_fn, init, None, length=env_params.max_episode_steps
+        )
+        return EpisodeStats(
+            returns=ret,
+            lengths=length,
+            success=success,
+            crashed=crashed,
+            max_tilt=max_tilt,
+            max_angular_velocity=max_w,
+            mean_effort=effort_sum / jnp.maximum(length.astype(jnp.float32), 1.0),
+            final_altitude=final_alt,
+            fuel_used=1.0 - states.fuel,
+        )
+
+    return eval_fn
+
+
+def summarize_stats(stats: EpisodeStats) -> dict[str, float]:
+    """Host-side aggregation with the reference's percentile set
+    (scripts/evaluate.py:75-116: p25/p50/p75/p90/p95)."""
+    import numpy as np
+
+    returns = np.asarray(stats.returns)
+    out = {
+        "eval_reward_mean": float(returns.mean()),
+        "eval_reward_std": float(returns.std()),
+        "eval_success_rate": float(np.asarray(stats.success).mean()),
+        "eval_crash_rate": float(np.asarray(stats.crashed).mean()),
+        "eval_length_mean": float(np.asarray(stats.lengths).mean()),
+        "eval_max_tilt_mean": float(np.asarray(stats.max_tilt).mean()),
+        "eval_max_angular_velocity_mean": float(
+            np.asarray(stats.max_angular_velocity).mean()
+        ),
+        "eval_effort_mean": float(np.asarray(stats.mean_effort).mean()),
+        "eval_fuel_used_mean": float(np.asarray(stats.fuel_used).mean()),
+    }
+    for p in (25, 50, 75, 90, 95):
+        out[f"eval_reward_p{p}"] = float(np.percentile(returns, p))
+    return out

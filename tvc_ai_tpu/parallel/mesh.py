@@ -65,6 +65,8 @@ def make_sharded_train(
 ):
     """Build (init_fn, train_fn) that run the fused loop over the mesh.
 
+    ``train_fn(carry, env_params)`` — env params ride along replicated so
+    curriculum promotion swaps values without recompiling.
     ``loop_cfg.num_envs`` is the GLOBAL env count; each device runs
     num_envs/n_devices locally. Inside the sharded region all shapes are
     local, so the same ``training.loop`` code serves single-chip and
@@ -90,7 +92,7 @@ def make_sharded_train(
     )
 
     iteration = loop_mod.make_train_iteration(
-        env_params, local_sac_cfg, local_cfg, axis_name=DATA_AXIS
+        local_sac_cfg, local_cfg, axis_name=DATA_AXIS
     )
 
     def init_local(key):
@@ -120,12 +122,16 @@ def make_sharded_train(
         )
     }
 
+    env_param_specs = jax.tree.map(lambda _: P(), env_params)
     init_fn = jax.jit(
         jax.shard_map(init_local, mesh=mesh, in_specs=P(), out_specs=specs)
     )
     train_fn = jax.jit(
         jax.shard_map(
-            iteration, mesh=mesh, in_specs=(specs,), out_specs=(specs, metric_specs)
+            iteration,
+            mesh=mesh,
+            in_specs=(specs, env_param_specs),
+            out_specs=(specs, metric_specs),
         ),
         donate_argnums=(0,),
     )

@@ -82,38 +82,47 @@ def init_carry(
     capacity = sac_cfg.buffer_size - (sac_cfg.buffer_size % loop_cfg.num_envs)
     capacity = max(capacity, loop_cfg.num_envs)
     buffer = replay_mod.ReplayBuffer.create(capacity, example)
-    zeros_f = jnp.zeros(loop_cfg.num_envs, jnp.float32)
-    zeros_i = jnp.zeros(loop_cfg.num_envs, jnp.int32)
+    # NOTE: each counter gets its OWN zero array — sharing one buffer across
+    # fields breaks donation ("attempt to donate the same buffer twice")
+    # when the carry is built eagerly.
+    def zeros_f():
+        return jnp.zeros(loop_cfg.num_envs, jnp.float32)
+
+    def zeros_i():
+        return jnp.zeros(loop_cfg.num_envs, jnp.int32)
+
     return TrainCarry(
         env_states=env_states,
         obs=obs,
         agent=agent,
         buffer=buffer,
         key=k_loop,
-        env_steps=zeros_i,
-        episodes=zeros_i,
-        successes=zeros_i,
-        ep_return=zeros_f,
-        ep_length=zeros_i,
-        return_sum=zeros_f,
-        length_sum=zeros_f,
+        env_steps=zeros_i(),
+        episodes=zeros_i(),
+        successes=zeros_i(),
+        ep_return=zeros_f(),
+        ep_length=zeros_i(),
+        return_sum=zeros_f(),
+        length_sum=zeros_f(),
     )
 
 
 def make_train_iteration(
-    env_params: EnvParams,
     sac_cfg: sac_mod.SACConfig,
     loop_cfg: TrainLoopConfig,
     axis_name: str | None = None,
 ):
-    """Build the jittable ``carry -> (carry, metrics)`` iteration function.
+    """Build the jittable ``(carry, env_params) -> (carry, metrics)`` iteration.
 
-    ``axis_name`` enables data-parallel gradient pmean when the iteration is
-    wrapped in ``shard_map`` over a device mesh (see ``parallel``).
+    ``env_params`` is a runtime argument (not a closure) so curriculum stage
+    promotion — which only changes parameter *values*, never shapes — reuses
+    the cached compilation. ``axis_name`` enables data-parallel gradient
+    pmean when the iteration is wrapped in ``shard_map`` over a device mesh
+    (see ``parallel``).
     """
     batched_step = jax.vmap(rocket_env.step_autoreset, in_axes=(0, 0, None))
 
-    def env_and_learn_step(carry: TrainCarry, _: Any):
+    def env_and_learn_step(carry: TrainCarry, _: Any, env_params: EnvParams):
         key = carry.key
         if axis_name is not None:
             # decorrelate action noise / replay sampling across shards
@@ -216,9 +225,12 @@ def make_train_iteration(
         )
         return new_carry, step_metrics
 
-    def train_iteration(carry: TrainCarry):
+    def train_iteration(carry: TrainCarry, env_params: EnvParams):
         carry, metrics = jax.lax.scan(
-            env_and_learn_step, carry, None, length=loop_cfg.rollout_steps
+            lambda c, x: env_and_learn_step(c, x, env_params),
+            carry,
+            None,
+            length=loop_cfg.rollout_steps,
         )
         return carry, jax.tree.map(jnp.mean, metrics)
 

@@ -1,0 +1,357 @@
+"""The training orchestrator — config in, trained policy out.
+
+TPU-native counterpart of the reference's ``StateOfTheArtTrainer``
+(scripts/train.py:173-849) with its dormant subsystems actually wired:
+
+- the hot loop is the fused sim+learn XLA program (``training.loop``),
+  sharded over a device mesh when more than one device is present;
+- curriculum promotion swaps env-parameter VALUES into the already-compiled
+  iteration (no recompile) and is driven by on-device success stats —
+  fixing the reference's update-signature bug (SURVEY §2.5);
+- reward-hacking detection runs on aggregated on-device episode stats every
+  iteration (ref checked every 50 episodes, scripts/train.py:495-516);
+- the stability manager's interventions (LR schedule, adaptive τ inside the
+  compiled update; primacy resets + dormant-unit reinit between iterations)
+  actually fire (the reference initialized them and never called step());
+- evaluation is a batched deterministic rollout (one device call);
+- checkpoints are orbax (best/periodic/final + real --resume; the
+  reference's resume was a stub, scripts/train.py:905-907).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc_ai_tpu.config.build import (
+    build_env_params,
+    build_loop_config,
+    build_sac_config,
+)
+from tvc_ai_tpu.config.schema import FrameworkConfig
+from tvc_ai_tpu.eval.rollout import make_eval_fn, summarize_stats
+from tvc_ai_tpu.training import loop as loop_mod
+from tvc_ai_tpu.training.curriculum import CurriculumManager
+from tvc_ai_tpu.training.hacking import RewardHackingDetector
+from tvc_ai_tpu.training.stability import (
+    StabilityConfig,
+    TrainingStabilityManager,
+    reinit_dormant_units,
+)
+from tvc_ai_tpu.utils.checkpoint import CheckpointManager, save_json
+from tvc_ai_tpu.utils.logging import TrainingLogger, make_output_dir
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: FrameworkConfig,
+        output_dir: str | Path | None = None,
+        resume: str | Path | None = None,
+    ):
+        self.cfg = cfg
+        self.output_dir = (
+            Path(output_dir)
+            if output_dir
+            else make_output_dir(cfg.globals.output_dir, cfg.globals.experiment_name)
+        )
+        self.logger = TrainingLogger(
+            self.output_dir,
+            level=cfg.logging.level,
+            tensorboard=cfg.logging.tensorboard,
+            csv_enabled=cfg.logging.csv,
+        )
+        self.key = jax.random.PRNGKey(cfg.globals.seed)
+
+        # ---- subsystems
+        self.curriculum = CurriculumManager(cfg)
+        self.hacking = RewardHackingDetector()
+        self.stability = TrainingStabilityManager(
+            StabilityConfig(), cfg.training.total_timesteps
+        )
+
+        # ---- configs
+        self.sac_cfg = dataclasses.replace(
+            build_sac_config(cfg),
+            schedule_total_steps=max(
+                cfg.training.total_timesteps
+                // max(cfg.training.num_envs, 1)
+                * cfg.training.updates_per_step,
+                1,
+            ),
+        )
+        self.loop_cfg = build_loop_config(cfg)
+        self.env_params = build_env_params(cfg, self.curriculum.get_environment_config())
+        # eval: no curriculum overlay — the full nominal task
+        self.eval_env_params = build_env_params(cfg)
+
+        # ---- device program(s)
+        self.devices = jax.devices()
+        self.mesh = None
+        if len(self.devices) > 1:
+            from tvc_ai_tpu.parallel import mesh as mesh_mod
+
+            n = cfg.hardware.mesh_devices or len(self.devices)
+            self.mesh = mesh_mod.make_mesh(n)
+            self._init_fn, self._train_fn = mesh_mod.make_sharded_train(
+                self.mesh, self.env_params, self.sac_cfg, self.loop_cfg
+            )
+            self.logger.info("mesh: %d devices (data-parallel)", n)
+        else:
+            self._init_fn = jax.jit(
+                lambda key: loop_mod.init_carry(
+                    key, self.env_params, self.sac_cfg, self.loop_cfg
+                )
+            )
+            self._train_fn = jax.jit(
+                loop_mod.make_train_iteration(self.sac_cfg, self.loop_cfg),
+                donate_argnums=(0,),
+            )
+            self.logger.info("single device: %s", self.devices[0])
+
+        self._eval_fn = jax.jit(
+            make_eval_fn(self.sac_cfg, cfg.training.eval_episodes)
+        )
+
+        # ---- state
+        self.carry = self._init_fn(self._next_key())
+        self.stability.register_initial_params(self.carry.agent.actor_params)
+        self.ckpt = CheckpointManager(self.output_dir / "checkpoints")
+        self.best_metric = float("-inf")
+        self.eval_rounds_since_improvement = 0
+        self.iteration = 0
+        self._last_episodes = 0
+        self._last_successes = 0
+        if resume is not None:
+            self._resume(resume)
+
+    # ------------------------------------------------------------------ util
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _host_state(self) -> dict:
+        return {
+            "iteration": self.iteration,
+            "best_metric": self.best_metric,
+            "curriculum": self.curriculum.state_dict(),
+            "stability": self.stability.state_dict(),
+            "last_episodes": self._last_episodes,
+            "last_successes": self._last_successes,
+        }
+
+    def _resume(self, resume_dir) -> None:
+        mngr = CheckpointManager(Path(resume_dir))
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape")
+            else x,
+            self.carry,
+        )
+        self.carry, host = mngr.restore(abstract)
+        self.iteration = int(host.get("iteration", 0))
+        self.best_metric = float(host.get("best_metric", float("-inf")))
+        self.curriculum.load_state_dict(host.get("curriculum", {}))
+        self.stability.load_state_dict(host.get("stability", {}))
+        self._last_episodes = int(host.get("last_episodes", 0))
+        self._last_successes = int(host.get("last_successes", 0))
+        mngr.close()
+        self.logger.info(
+            "resumed from %s at iteration %d (%s env steps)",
+            resume_dir,
+            self.iteration,
+            f"{self.env_steps:,}",
+        )
+
+    @property
+    def env_steps(self) -> int:
+        return int(jnp.sum(self.carry.env_steps))
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> dict:
+        cfg = self.cfg.training
+        steps_per_iter = self.loop_cfg.num_envs * self.loop_cfg.rollout_steps
+        eval_every = max(cfg.eval_freq // steps_per_iter, 1)
+        save_every = max(cfg.save_freq // steps_per_iter, 1)
+        self.logger.info(
+            "training: %s total steps, %d envs x %d rollout steps/iter",
+            f"{cfg.total_timesteps:,}",
+            self.loop_cfg.num_envs,
+            self.loop_cfg.rollout_steps,
+        )
+        t_start = time.perf_counter()
+        stop_reason = "total_timesteps"
+
+        while self.env_steps < cfg.total_timesteps:
+            self.carry, metrics = self._train_fn(self.carry, self.env_params)
+            self.iteration += 1
+            self.stability.step(
+                self.loop_cfg.rollout_steps * self.loop_cfg.updates_per_step
+            )
+
+            summary = loop_mod.summarize(self.carry)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics.update(summary)
+            self.logger.log_metrics(self.env_steps, metrics)
+            if self.iteration % self.cfg.logging.log_freq_iterations == 0:
+                self.logger.progress_line(
+                    self.env_steps,
+                    cfg.total_timesteps,
+                    {
+                        k: metrics[k]
+                        for k in (
+                            "reward_mean",
+                            "success_rate",
+                            "critic_loss",
+                            "actor_loss",
+                            "alpha",
+                        )
+                        if k in metrics
+                    },
+                )
+
+            # ---- curriculum + hacking from on-device episode deltas
+            ep_delta = summary["episodes"] - self._last_episodes
+            succ_delta = (
+                int(jnp.sum(self.carry.successes)) - self._last_successes
+            )
+            self._last_episodes = summary["episodes"]
+            self._last_successes = int(jnp.sum(self.carry.successes))
+            if ep_delta > 0:
+                rate = succ_delta / ep_delta
+                if self.curriculum.update(ep_delta, rate):
+                    stage = self.curriculum.get_environment_config()
+                    self.env_params = build_env_params(self.cfg, stage)
+                    self.logger.info(
+                        "curriculum advanced to stage %d (%s)",
+                        self.curriculum.stage_idx,
+                        stage.name if stage else "graduated",
+                    )
+                self.hacking.add_episode(
+                    reward=summary["mean_episode_return"],
+                    success=rate > 0.5,
+                    length=int(summary["mean_episode_length"]),
+                )
+
+            report = self.hacking.detect_hacking()
+            if report.is_hacking:
+                self.logger.warning(
+                    "reward hacking suspected (score %.2f): %s",
+                    report.score,
+                    report.indicators,
+                )
+            if self.stability.should_stop_training(report.score):
+                stop_reason = "reward_hacking"
+                self.logger.warning("stopping: hacking score %.2f", report.score)
+                break
+
+            # ---- stability interventions
+            if self.stability.due_primacy_reset():
+                agent = self.carry.agent
+                agent = agent.replace(
+                    actor_params=self.stability.apply_primacy_reset(
+                        agent.actor_params, self._next_key()
+                    )
+                )
+                self.carry = self.carry.replace(agent=agent)
+                self.logger.info("primacy-bias mitigation: partial weight reset")
+            if self.stability.due_dormant_check():
+                agent = self.carry.agent
+                probe = np.asarray(jax.device_get(self.carry.obs))[:256]
+                agent = agent.replace(
+                    actor_params=reinit_dormant_units(
+                        None,
+                        agent.actor_params,
+                        jnp.asarray(probe),
+                        self._next_key(),
+                        self.stability.cfg.dormant_threshold,
+                        self.stability.cfg.reinit_dormant_ratio,
+                    )
+                )
+                self.carry = self.carry.replace(agent=agent)
+
+            # ---- eval / early stopping / checkpoints
+            if self.iteration % eval_every == 0:
+                eval_metrics = self.evaluate()
+                self.logger.log_metrics(self.env_steps, eval_metrics)
+                self.logger.info(
+                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%",
+                    f"{self.env_steps:,}",
+                    100 * eval_metrics["eval_success_rate"],
+                    eval_metrics["eval_reward_mean"],
+                    100 * eval_metrics["eval_crash_rate"],
+                )
+                metric = eval_metrics.get(
+                    cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
+                )
+                if metric > self.best_metric + cfg.early_stopping.min_improvement:
+                    self.best_metric = metric
+                    self.eval_rounds_since_improvement = 0
+                    if cfg.checkpointing.save_best:
+                        self.ckpt.save(
+                            self.env_steps, self.carry, self._host_state()
+                        )
+                        self.logger.info(
+                            "new best %s=%.3f — checkpoint saved",
+                            cfg.early_stopping.metric,
+                            metric,
+                        )
+                else:
+                    self.eval_rounds_since_improvement += 1
+                    if (
+                        cfg.early_stopping.enabled
+                        and self.eval_rounds_since_improvement
+                        >= cfg.early_stopping.patience
+                    ):
+                        stop_reason = "early_stopping"
+                        self.logger.info(
+                            "early stopping after %d eval rounds w/o improvement",
+                            self.eval_rounds_since_improvement,
+                        )
+                        break
+            elif cfg.checkpointing.save_periodic and self.iteration % save_every == 0:
+                self.ckpt.save(self.env_steps, self.carry, self._host_state())
+
+        # ---- final artifacts
+        elapsed = time.perf_counter() - t_start
+        final_eval = self.evaluate()
+        if self.cfg.training.checkpointing.save_last:
+            self.ckpt.save(
+                self.env_steps, self.carry, self._host_state(), force=True
+            )
+        self.ckpt.wait()
+        result = {
+            "env_steps": self.env_steps,
+            "iterations": self.iteration,
+            "wallclock_sec": elapsed,
+            "steps_per_sec": self.env_steps / max(elapsed, 1e-9),
+            "stop_reason": stop_reason,
+            "best_metric": self.best_metric,
+            "curriculum_stage": self.curriculum.stage_idx,
+            "hacking_score": self.hacking.detect_hacking().score,
+            **final_eval,
+        }
+        save_json(self.output_dir / "final_metrics.json", result)
+        self.curriculum.save_curriculum_data(self.output_dir / "curriculum.json")
+        self.logger.info(
+            "done: %s env steps in %.1fs (%s steps/s), final success %.2f%%",
+            f"{self.env_steps:,}",
+            elapsed,
+            f"{result['steps_per_sec']:,.0f}",
+            100 * result["eval_success_rate"],
+        )
+        self.logger.close()
+        return result
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self) -> dict[str, float]:
+        stats = self._eval_fn(
+            jax.device_get(self.carry.agent), self._next_key(), self.eval_env_params
+        )
+        return summarize_stats(stats)
