@@ -42,9 +42,12 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from tvc_ai_tpu.config import load_config, save_config
-    from tvc_ai_tpu.training.trainer import Trainer
 
     cfg = load_config(args.config, overrides=args.overrides)
+    if cfg.training.algorithm == "ensemble":
+        from tvc_ai_tpu.training.trainer_ensemble import EnsembleTrainer as Trainer
+    else:
+        from tvc_ai_tpu.training.trainer import Trainer
     if args.debug:
         cfg.globals.debug = True
         cfg.training.total_timesteps = min(cfg.training.total_timesteps, 50_000)

@@ -33,8 +33,9 @@ class EpisodeStats(NamedTuple):
     fuel_used: jnp.ndarray      # (E,)
 
 
-def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int = 2):
-    """Build jittable ``(agent_state, key, env_params) -> EpisodeStats``."""
+def make_policy_eval_fn(policy_fn, num_episodes: int):
+    """Build jittable ``(agent_state, key, env_params) -> EpisodeStats`` for an
+    arbitrary deterministic policy ``policy_fn(agent, obs, key) -> actions``."""
 
     batched_step = jax.vmap(rocket_env.step, in_axes=(0, 0, None))
 
@@ -61,9 +62,7 @@ def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int 
         def step_fn(carry, _):
             (states, obs, done, ret, length, success, crashed,
              max_tilt, max_w, effort_sum, final_alt) = carry
-            actions = sac_mod.select_action(
-                agent, obs, k_act, sac_cfg, action_dim, deterministic=True
-            )
+            actions = policy_fn(agent, obs, k_act)
             new_states, out = batched_step(states, actions, env_params)
             live = ~done
             ret = ret + jnp.where(live, out.reward, 0.0)
@@ -114,6 +113,17 @@ def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int 
         )
 
     return eval_fn
+
+
+def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int = 2):
+    """SAC-policy specialization of ``make_policy_eval_fn``."""
+
+    def policy_fn(agent, obs, key):
+        return sac_mod.select_action(
+            agent, obs, key, sac_cfg, action_dim, deterministic=True
+        )
+
+    return make_policy_eval_fn(policy_fn, num_episodes)
 
 
 def summarize_stats(stats: EpisodeStats) -> dict[str, float]:

@@ -1,0 +1,319 @@
+"""Pallas TPU kernel: the batched 6-DOF integrate + contact inner loop.
+
+This is the BASELINE.json deliverable ("a Pallas kernel handles the batched
+quaternion-integrate + contact/termination check inner loop") and the
+performance backstop for the XLA path in ``physics.integrator``.
+
+Why a kernel helps here: the vmapped XLA path stores state as (N, 3)/(N, 4)
+arrays, so elementwise physics runs with 3-4 useful lanes out of 128. The
+kernel flips to a structure-of-arrays layout — one (1, N_block) row per
+state component, N envs in the LANE dimension — so every VPU op is 100 %
+lane-utilized. All math mirrors ``integrator.step`` exactly (forces computed
+once per control step from the pre-step state, engine gravity + Bullet-style
+damping + penalty contact per substep, quaternion exponential update);
+parity is enforced by tests against the XLA path.
+
+Measured on TPU v5e (1 chip, N=4096): ~87M env steps/s with per-call host
+dispatch (eager). NOTE: in the current axon remote-compile environment,
+wrapping this kernel in ``lax.scan`` hangs at Mosaic compile time, so the
+fused training loop defaults to the XLA integrator path (itself ~119M
+steps/s physics-only under scan after the analytic-inertia fix); the kernel
+remains the validated SoA fast path for eager/per-step drivers and for
+environments where Mosaic-under-scan compiles.
+
+Row layout of the packed state (13, N):
+    0-2  pos      3-6  quat (xyzw)     7-9  vel     10-12 omega
+Domain-randomization rows (8, N):
+    0 mass  1 thrust_scale  2-4 cg_offset  5-7 wind
+Control rows (3, N):
+    0 gimbal_pitch  1 gimbal_yaw  2 thrust_active
+Scalar parameter vector (see ``pack_params``) rides in SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tvc_ai_tpu.physics.integrator import ThrustControl
+from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
+
+STATE_ROWS = 13
+DR_ROWS = 8
+CTRL_ROWS = 3
+NUM_PARAMS = 16
+
+# parameter vector indices
+(P_THRUST, P_GRAVITY, P_DOUBLE_G, P_DRAG_COEFF, P_RHO0, P_SCALE_H,
+ P_AERO_DAMP, P_DRAG_MIN, P_LIN_DAMP, P_ANG_DAMP, P_DT, P_CONTACT_K,
+ P_CONTACT_D, P_CONTACT_MU, P_RADIUS, P_LENGTH) = range(NUM_PARAMS)
+
+
+def pack_params(p: RocketParams) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            p.thrust, p.gravity,
+            jnp.float32(1.0 if p.double_gravity else 0.0),
+            p.drag_coeff, p.rho0, p.atmosphere_scale_height,
+            p.aero_angular_damping, p.drag_min_speed,
+            p.linear_damping, p.angular_damping,
+            jnp.float32(p.dt),
+            p.contact_stiffness, p.contact_damping, p.contact_friction,
+            p.radius, p.length,
+        ]
+    ).astype(jnp.float32)
+
+
+def _kernel(params_ref, state_ref, dr_ref, ctrl_ref, out_ref, *, substeps: int):
+    """One full control step for a (rows, NB) tile of envs."""
+    f32 = jnp.float32
+
+    def P(i):
+        return params_ref[i, 0]
+
+    # unpack rows — each is (1, NB)
+    px, py, pz = state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :]
+    qx, qy, qz, qw = (state_ref[3 + i : 4 + i, :] for i in range(4))
+    vx, vy, vz = state_ref[7:8, :], state_ref[8:9, :], state_ref[9:10, :]
+    wx, wy, wz = state_ref[10:11, :], state_ref[11:12, :], state_ref[12:13, :]
+
+    mass = dr_ref[0:1, :]
+    thrust_scale = dr_ref[1:2, :]
+    cgx, cgy, cgz = dr_ref[2:3, :], dr_ref[3:4, :], dr_ref[4:5, :]
+    windx, windy, windz = dr_ref[5:6, :], dr_ref[6:7, :], dr_ref[7:8, :]
+
+    gimbal_p = ctrl_ref[0:1, :]
+    gimbal_y = ctrl_ref[1:2, :]
+    active = ctrl_ref[2:3, :]
+
+    def rotate(qx, qy, qz, qw, vx, vy, vz):
+        """Body→world rotation via the 2-cross-product form (quaternion.rotate)."""
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        rx = vx + qw * tx + (qy * tz - qz * ty)
+        ry = vy + qw * ty + (qz * tx - qx * tz)
+        rz = vz + qw * tz + (qx * ty - qy * tx)
+        return rx, ry, rz
+
+    def rotate_inv(qx, qy, qz, qw, vx, vy, vz):
+        return rotate(-qx, -qy, -qz, qw, vx, vy, vz)
+
+    # ---- forces accumulated ONCE from the pre-step state (integrator.accumulate_forces)
+    # manual gravity half (double-gravity quirk)
+    fz_const = -P(P_GRAVITY) * P(P_DOUBLE_G) * mass
+    fx = windx
+    fy = windy
+    fz = fz_const + windz
+
+    # gimbaled thrust in body frame (integrator.thrust_body_vector)
+    tmag = P(P_THRUST) * thrust_scale
+    tbx = tmag * jnp.sin(gimbal_y)
+    tby = tmag * jnp.sin(gimbal_p)
+    tbz = tmag * jnp.cos(gimbal_p) * jnp.cos(gimbal_y)
+    twx, twy, twz = rotate(qx, qy, qz, qw, tbx, tby, tbz)
+    twx, twy, twz = twx * active, twy * active, twz * active
+    # lever arm: thrust_offset (0,0,-0.5) − cg_offset, rotated to world
+    lx, ly, lz = rotate(qx, qy, qz, qw, -cgx, -cgy, -0.5 - cgz)
+    tqx = ly * twz - lz * twy
+    tqy = lz * twx - lx * twz
+    tqz = lx * twy - ly * twx
+    fx, fy, fz = fx + twx, fy + twy, fz + twz
+
+    # aerodynamic drag + angular damping (integrator.aero_wrench)
+    rho = P(P_RHO0) * jnp.exp(-pz / P(P_SCALE_H))
+    speed2 = vx * vx + vy * vy + vz * vz
+    speed = jnp.sqrt(speed2)
+    area = jnp.pi * P(P_RADIUS) * P(P_RADIUS)
+    drag_mag = 0.5 * rho * speed2 * P(P_DRAG_COEFF) * area
+    inv_speed = jnp.where(speed > 1e-9, 1.0 / jnp.maximum(speed, 1e-9), 0.0)
+    gate = (speed > P(P_DRAG_MIN)).astype(f32)
+    k_drag = drag_mag * inv_speed * gate
+    fx, fy, fz = fx - vx * k_drag, fy - vy * k_drag, fz - vz * k_drag
+    damp = P(P_AERO_DAMP) * rho
+    tqx, tqy, tqz = tqx - damp * wx, tqy - damp * wy, tqz - damp * wz
+
+    # body-frame inertia (cylinder)
+    i_xx = (1.0 / 12.0) * mass * (
+        3.0 * P(P_RADIUS) * P(P_RADIUS) + P(P_LENGTH) * P(P_LENGTH)
+    )
+    i_zz = 0.5 * mass * P(P_RADIUS) * P(P_RADIUS)
+    inv_mass = 1.0 / mass
+    half_len = 0.5 * P(P_LENGTH)
+    dt = P(P_DT) / f32(substeps)
+    # (1-d)**dt as exp(dt·log(1-d)) — Mosaic has no powf legalization
+    lin_damp_factor = jnp.exp(dt * jnp.log(1.0 - P(P_LIN_DAMP)))
+    ang_damp_factor = jnp.exp(dt * jnp.log(1.0 - P(P_ANG_DAMP)))
+
+    # ---- substeps (static unroll, mirrors integrator.substep)
+    for _ in range(substeps):
+        sfx, sfy, sfz = fx, fy, fz
+        stx, sty, stz = tqx, tqy, tqz
+
+        # penalty contact at the two cylinder endpoints (contact_wrench)
+        for sign in (-1.0, 1.0):
+            rx_, ry_, rz_ = rotate(
+                qx, qy, qz, qw,
+                jnp.zeros_like(pz), jnp.zeros_like(pz), sign * half_len,
+            )
+            cpx, cpy, cpz = px + rx_, py + ry_, pz + rz_
+            vpx = vx + (wy * rz_ - wz * ry_)
+            vpy = vy + (wz * rx_ - wx * rz_)
+            vpz = vz + (wx * ry_ - wy * rx_)
+            depth = jnp.maximum(-cpz, 0.0)
+            in_contact = (depth > 0.0).astype(f32)
+            fn = jnp.maximum(
+                P(P_CONTACT_K) * depth - P(P_CONTACT_D) * vpz, 0.0
+            ) * in_contact
+            vt = jnp.sqrt(vpx * vpx + vpy * vpy)
+            kf = -P(P_CONTACT_MU) * fn / (vt + 1e-3)
+            cfx, cfy, cfz = kf * vpx, kf * vpy, fn
+            sfx, sfy, sfz = sfx + cfx, sfy + cfy, sfz + cfz
+            stx = stx + (ry_ * cfz - rz_ * cfy)
+            sty = sty + (rz_ * cfx - rx_ * cfz)
+            stz = stz + (rx_ * cfy - ry_ * cfx)
+
+        # engine gravity (always on)
+        sfz = sfz - P(P_GRAVITY) * mass
+
+        vx = vx + sfx * inv_mass * dt
+        vy = vy + sfy * inv_mass * dt
+        vz = vz + sfz * inv_mass * dt
+
+        # ω' = ω + R diag(1/I) Rᵀ τ dt
+        tbx_, tby_, tbz_ = rotate_inv(qx, qy, qz, qw, stx, sty, stz)
+        tbx_, tby_, tbz_ = tbx_ / i_xx, tby_ / i_xx, tbz_ / i_zz
+        awx, awy, awz = rotate(qx, qy, qz, qw, tbx_, tby_, tbz_)
+        wx = wx + awx * dt
+        wy = wy + awy * dt
+        wz = wz + awz * dt
+
+        # Bullet-style exponential damping per substep
+        vx, vy, vz = vx * lin_damp_factor, vy * lin_damp_factor, vz * lin_damp_factor
+        wx, wy, wz = wx * ang_damp_factor, wy * ang_damp_factor, wz * ang_damp_factor
+
+        px = px + vx * dt
+        py = py + vy * dt
+        pz = pz + vz * dt
+
+        # quaternion exponential update: q' = exp(ω dt) ⊗ q, renormalized
+        ox, oy, oz = wx * dt, wy * dt, wz * dt
+        theta = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        k = 0.5 * jnp.sinc(theta / (2.0 * jnp.pi))
+        dx_, dy_, dz_, dw_ = ox * k, oy * k, oz * k, jnp.cos(0.5 * theta)
+        nqx = dw_ * qx + dx_ * qw + dy_ * qz - dz_ * qy
+        nqy = dw_ * qy - dx_ * qz + dy_ * qw + dz_ * qx
+        nqz = dw_ * qz + dx_ * qy - dy_ * qx + dz_ * qw
+        nqw = dw_ * qw - dx_ * qx - dy_ * qy - dz_ * qz
+        norm = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
+        inv_norm = 1.0 / jnp.maximum(norm, 1e-12)
+        qx, qy, qz, qw = nqx * inv_norm, nqy * inv_norm, nqz * inv_norm, nqw * inv_norm
+
+    out_ref[0:1, :], out_ref[1:2, :], out_ref[2:3, :] = px, py, pz
+    out_ref[3:4, :], out_ref[4:5, :] = qx, qy
+    out_ref[5:6, :], out_ref[6:7, :] = qz, qw
+    out_ref[7:8, :], out_ref[8:9, :], out_ref[9:10, :] = vx, vy, vz
+    out_ref[10:11, :], out_ref[11:12, :], out_ref[12:13, :] = wx, wy, wz
+
+
+def pack_state(state: RigidBodyState) -> jnp.ndarray:
+    """(N, ·) AoS state → (13, N) SoA rows."""
+    return jnp.concatenate(
+        [state.pos.T, state.quat.T, state.vel.T, state.omega.T], axis=0
+    )
+
+
+def unpack_state(packed: jnp.ndarray) -> RigidBodyState:
+    return RigidBodyState(
+        pos=packed[0:3].T,
+        quat=packed[3:7].T,
+        vel=packed[7:10].T,
+        omega=packed[10:13].T,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_envs", "interpret")
+)
+def step_pallas(
+    state: RigidBodyState,
+    control: ThrustControl,
+    params: RocketParams,
+    mass: jnp.ndarray,
+    thrust_scale: jnp.ndarray,
+    cg_offset: jnp.ndarray,
+    wind: jnp.ndarray,
+    block_envs: int = 512,
+    interpret: bool = False,
+) -> RigidBodyState:
+    """Drop-in batched replacement for ``vmap(integrator.step)``.
+
+    state leaves have leading env axis N (padded internally to a multiple of
+    ``block_envs``).
+    """
+    n = state.pos.shape[0]
+    n_pad = -(-n // block_envs) * block_envs
+
+    def pad(x):
+        return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    packed = pack_state(jax.tree.map(pad, state))
+    # pad mass with ones to avoid div-by-zero in dead lanes
+    mass_p = jnp.concatenate([mass, jnp.ones(n_pad - n, mass.dtype)])
+    dr = jnp.concatenate(
+        [
+            mass_p[None, :],
+            pad(thrust_scale[:, None]).T,
+            pad(cg_offset).T,
+            pad(wind).T,
+        ],
+        axis=0,
+    )
+    ctrl = jnp.concatenate(
+        [
+            pad(control.gimbal).T,
+            pad(control.thrust_active.astype(jnp.float32)[:, None]).T,
+        ],
+        axis=0,
+    )
+    param_vec = pack_params(params)[:, None]  # (P, 1) for SMEM
+
+    grid = (n_pad // block_envs,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, substeps=params.substeps),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (NUM_PARAMS, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (STATE_ROWS, block_envs),
+                    lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (DR_ROWS, block_envs),
+                    lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (CTRL_ROWS, block_envs),
+                    lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (STATE_ROWS, block_envs),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((STATE_ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(param_vec, packed, dr, ctrl)
+    return jax.tree.map(lambda x: x[:n], unpack_state(out))
