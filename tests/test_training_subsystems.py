@@ -259,3 +259,38 @@ def test_hpo_fallback_study(tmp_path):
     assert best.value == max(r.value for r in results if not r.pruned)
     assert (tmp_path / "trials.csv").exists()
     assert json.loads((tmp_path / "best_params.json").read_text())["params"]
+
+
+# ---------------------------------------------------------- device manager
+
+
+def test_device_manager():
+    from tvc_ai_tpu.utils.devices import DeviceManager, get_device_manager
+
+    dm = get_device_manager()
+    assert dm is get_device_manager()  # singleton
+    x = np.ones((4, 4), np.float32)
+    dev = dm.to_device(x)
+    back = dm.to_numpy(dev)
+    assert np.allclose(back, x)
+    dm.synchronize()
+    info = dm.get_memory_info()
+    assert isinstance(info, dict)
+    assert dm.device_count() >= 1
+
+
+def test_config_coerces_yaml_scientific_notation():
+    """YAML parses '3e-4' (no dot) as a string; the schema must coerce it."""
+    from tvc_ai_tpu.config import build_sac_config, load_config
+
+    cfg = load_config(None, overrides=[
+        "algorithms.sac.lr_actor=3e-4",
+        "algorithms.sac.learning_starts=1e3",
+        "training.early_stopping.enabled=false",
+    ])
+    assert isinstance(cfg.algorithms.sac.lr_actor, float)
+    assert cfg.algorithms.sac.lr_actor == pytest.approx(3e-4)
+    assert cfg.algorithms.sac.learning_starts == 1000
+    assert cfg.training.early_stopping.enabled is False
+    sc = build_sac_config(cfg)
+    assert isinstance(sc.lr_actor, float)

@@ -42,8 +42,39 @@ def _build(cls, data: dict[str, Any], path: str = ""):
         elif get_origin(target) in (list, tuple) and value is not None:
             kwargs[name] = target.__origin__(value)
         else:
-            kwargs[name] = value
+            kwargs[name] = _coerce(target, value, sub_path)
     return cls(**kwargs)
+
+
+def _coerce(target, value, path: str):
+    """Coerce YAML scalars to the annotated primitive type.
+
+    YAML 1.1 parses ``3e-4`` (no decimal point) as a STRING; without coercion
+    that string would flow into optimizers as a learning rate. Strings that
+    cannot convert raise with the config path.
+    """
+    if value is None:
+        return None
+    try:
+        if target is float and not isinstance(value, float):
+            return float(value)
+        if target is int and not isinstance(value, int):
+            as_float = float(value)
+            if as_float != int(as_float):
+                raise ValueError(f"non-integer value {value!r}")
+            return int(as_float)
+        if target is bool and not isinstance(value, bool):
+            if isinstance(value, str):
+                lowered = value.strip().lower()
+                if lowered in ("true", "1", "yes", "on"):
+                    return True
+                if lowered in ("false", "0", "no", "off"):
+                    return False
+                raise ValueError(f"not a boolean: {value!r}")
+            return bool(value)
+    except (TypeError, ValueError) as exc:
+        raise TypeError(f"config '{path}': cannot coerce {value!r} to {target}") from exc
+    return value
 
 
 # --------------------------------------------------------------- sections
@@ -333,6 +364,43 @@ class HardwareConfig:
 
 
 @dataclass
+class DecisionTransformerConfig:
+    """Disabled stub for parity with config/config.yaml:429-433."""
+
+    enabled: bool = False
+    context_length: int = 20
+
+
+@dataclass
+class MetaLearningConfig:
+    """MAML stub (ref agent _setup_meta_learning :683-691, never used)."""
+
+    enabled: bool = False
+    inner_lr: float = 1e-2
+    meta_lr: float = 1e-3
+    inner_steps: int = 5
+
+
+@dataclass
+class MultiAgentConfig:
+    """Population stub (config/config.yaml:442-446). Trivially realizable
+    here by vmapping per-env agent params; kept disabled for parity."""
+
+    enabled: bool = False
+    num_agents: int = 4
+
+
+@dataclass
+class ExperimentalConfig:
+    decision_transformer: DecisionTransformerConfig = field(
+        default_factory=DecisionTransformerConfig
+    )
+    meta_learning: MetaLearningConfig = field(default_factory=MetaLearningConfig)
+    multi_agent: MultiAgentConfig = field(default_factory=MultiAgentConfig)
+    offline_rl_enabled: bool = False
+
+
+@dataclass
 class FrameworkConfig:
     """Root config — sections mirror config/config.yaml's layout."""
 
@@ -354,6 +422,7 @@ class FrameworkConfig:
     env: EnvSection = field(default_factory=EnvSection)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
     hardware: HardwareConfig = field(default_factory=HardwareConfig)
+    experimental: ExperimentalConfig = field(default_factory=ExperimentalConfig)
 
     @staticmethod
     def from_dict(data: dict[str, Any]) -> "FrameworkConfig":

@@ -66,6 +66,9 @@ class Trainer:
             level=cfg.logging.level,
             tensorboard=cfg.logging.tensorboard,
             csv_enabled=cfg.logging.csv,
+            wandb_enabled=cfg.logging.wandb_enabled,
+            wandb_mode=cfg.logging.wandb_mode,
+            wandb_config=cfg.to_dict(),
         )
         self.key = jax.random.PRNGKey(cfg.globals.seed)
 

@@ -38,6 +38,9 @@ class TrainingLogger:
         level: str = "INFO",
         tensorboard: bool = True,
         csv_enabled: bool = True,
+        wandb_enabled: bool = False,
+        wandb_mode: str = "offline",
+        wandb_config: dict | None = None,
     ):
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -62,6 +65,25 @@ class TrainingLogger:
             except Exception as exc:  # pragma: no cover - optional dep
                 self.logger.warning("tensorboard disabled: %s", exc)
 
+        # wandb (offline-forced like the reference, scripts/train.py:38;
+        # silently disabled when the package is absent)
+        self._wandb = None
+        if wandb_enabled:
+            try:
+                import os
+
+                os.environ.setdefault("WANDB_MODE", wandb_mode)
+                import wandb
+
+                self._wandb = wandb.init(
+                    project="tvc-ai-tpu",
+                    dir=str(self.output_dir),
+                    config=wandb_config or {},
+                    mode=wandb_mode,
+                )
+            except Exception as exc:  # pragma: no cover - optional dep
+                self.logger.warning("wandb disabled: %s", exc)
+
         self._csv_path = self.output_dir / "metrics.csv" if csv_enabled else None
         self._csv_fields: list[str] | None = None
         self._history: list[dict[str, float]] = []
@@ -81,6 +103,8 @@ class TrainingLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(self._tb_tag(k), v, step)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
         if self._csv_path is not None:
             self._write_csv(step, metrics)
 
@@ -169,6 +193,8 @@ class TrainingLogger:
         self.save_plots()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
         for h in list(self.logger.handlers):
             h.close()
             self.logger.removeHandler(h)
