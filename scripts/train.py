@@ -44,9 +44,16 @@ def main() -> int:
     from tvc_ai_tpu.config import load_config, save_config
 
     cfg = load_config(args.config, overrides=args.overrides)
-    if cfg.training.algorithm == "ensemble":
+    algo = cfg.training.algorithm
+    if algo == "ensemble":
         from tvc_ai_tpu.training.trainer_ensemble import EnsembleTrainer as Trainer
-    else:
+    elif algo in ("ppo", "td3"):
+        import functools
+
+        from tvc_ai_tpu.training.trainer_ensemble import EnsembleTrainer
+
+        Trainer = functools.partial(EnsembleTrainer, forced_actor=algo)
+    else:  # sac (default): the dedicated fused SAC trainer
         from tvc_ai_tpu.training.trainer import Trainer
     if args.debug:
         cfg.globals.debug = True

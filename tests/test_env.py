@@ -170,3 +170,22 @@ def test_phase_transition_boost_to_coast(params, jit_step):
     state, out = jit_step(state, jnp.zeros(2), params)
     assert int(state.phase) == PHASE_COAST
     assert int(out.phase) == PHASE_COAST
+
+
+def test_actuator_delay_shifts_response():
+    """With the delay flag, step 1's physics consume step 0's action."""
+    from tvc_ai_tpu.env.types import RandomizationConfig as RC
+
+    delayed = EnvParams(randomization=RC(actuator_delay=True))
+    normal = EnvParams()
+    s_d, _ = rocket_env.reset(jax.random.PRNGKey(20), delayed)
+    s_n, _ = rocket_env.reset(jax.random.PRNGKey(20), normal)
+    hard = jnp.array([1.0, 0.0])
+    # delayed env: first hard action applies NO gimbal (pending buffer empty)
+    s_d1, out_d = rocket_env.step(s_d, hard, delayed)
+    s_n1, out_n = rocket_env.step(s_n, hard, normal)
+    assert float(out_d.angular_velocity_mag) < float(out_n.angular_velocity_mag)
+    assert float(out_d.angular_velocity_mag) == pytest.approx(0.0, abs=1e-5)
+    # second step: the delayed env now applies the hard action
+    s_d2, out_d2 = rocket_env.step(s_d1, jnp.zeros(2), delayed)
+    assert float(out_d2.angular_velocity_mag) > 0.01

@@ -50,6 +50,9 @@ class SACConfig:
     gradient_clip_norm: float = 10.0
     action_noise: float = 0.0
     curriculum_learning: bool = False
+    # TD-target reward scaling (SAC is scale-sensitive; this env's returns
+    # reach thousands). Applied inside update() only — logged rewards stay raw.
+    reward_scale: float = 1.0
     # training-stability wiring (utils/training_stability.py capabilities,
     # actually applied here unlike the reference — SURVEY §2.5)
     lr_schedule: str = "constant"  # constant|linear|exponential|cosine|warmup_cosine
@@ -195,7 +198,10 @@ def update(
     next_action, next_logp = dist.sample_and_log_prob(k_next, next_mean, next_log_std)
     tq1, tq2 = critic.apply(state.target_critic_params, batch["next_obs"], next_action)
     target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
-    target_q = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * target_v
+    target_q = (
+        batch["reward"] * cfg.reward_scale
+        + cfg.gamma * (1.0 - batch["done"]) * target_v
+    )
     target_q = jax.lax.stop_gradient(target_q)
 
     def critic_loss_fn(params):

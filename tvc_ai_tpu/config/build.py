@@ -114,6 +114,7 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         buffer_size=s.buffer_size,
         learning_starts=s.learning_starts,
         gradient_clip_norm=s.grad_clip_norm,
+        reward_scale=s.reward_scale,
     )
 
 

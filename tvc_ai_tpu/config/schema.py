@@ -128,6 +128,7 @@ class SACSection:
     gradient_steps: int = 1
     ent_coef: str = "auto"  # "auto" or float-as-string
     grad_clip_norm: float = 5.0
+    reward_scale: float = 0.05  # TD-target scaling (returns reach thousands)
     hidden_dims: list[int] = field(default_factory=lambda: [256, 256])
 
 

@@ -122,7 +122,12 @@ def step(
 
     # 1. action → gimbal (ref :470-471); fuel gate checked *before* burn (:530-533)
     action = jnp.clip(action, -1.0, 1.0)
-    gimbal = action * params.rocket.max_gimbal
+    # optional one-step actuator delay (DR spec): physics consumes the
+    # previously commanded action; reward/smoothness still see the command
+    applied = (
+        state.prev_action if params.randomization.actuator_delay else action
+    )
+    gimbal = applied * params.rocket.max_gimbal
     thrust_active = state.fuel > 0.0
     fuel = jnp.where(
         thrust_active,

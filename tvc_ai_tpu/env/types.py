@@ -74,6 +74,10 @@ class RandomizationConfig:
     init_tilt_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
     init_omega_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
     init_pos_jitter: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # one-control-step actuator delay (spec'd in the reference's DR section,
+    # config/config.yaml:340-349 / GUIDE fault-injection docs; static flag so
+    # the no-delay path compiles away entirely)
+    actuator_delay: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

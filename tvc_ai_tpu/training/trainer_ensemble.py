@@ -82,9 +82,13 @@ class EnsembleTrainer:
         cfg: FrameworkConfig,
         output_dir: str | Path | None = None,
         resume: str | Path | None = None,
+        forced_actor: str | None = None,
     ):
         self.cfg = cfg
         self._resume_path = resume
+        # pin the acting algorithm (standalone PPO/TD3 training mode);
+        # off-policy members still co-train from the shared replay
+        self.forced_actor = forced_actor
         self.ens_cfg = build_ensemble_config(cfg)
         self.output_dir = (
             Path(output_dir)
@@ -165,7 +169,7 @@ class EnsembleTrainer:
             self.ens_cfg.selection_strategy,
         )
         while self.env_steps < cfg.total_timesteps:
-            actor = self.agent.select_algorithm()
+            actor = self.forced_actor or self.agent.select_algorithm()
             self.carry, metrics = self._iterations[actor](
                 self.carry, self.agent.weights_array(), self.env_params
             )

@@ -34,6 +34,11 @@ class CheckpointManager:
 
     def save(self, step: int, carry: Any, host_state: dict | None = None,
              force: bool = False) -> None:
+        if step in (self._mngr.all_steps() or []):
+            # orbax raises StepAlreadyExistsError even with force=True
+            # (force only bypasses the save-interval policy); an existing
+            # step at the same count holds identical state — skip.
+            return
         args = {"carry": self._ocp.args.StandardSave(carry)}
         if host_state is not None:
             args["host"] = self._ocp.args.JsonSave(host_state)
