@@ -46,6 +46,7 @@ from tvc_ai_tpu.training.stability import (
 )
 from tvc_ai_tpu.utils.checkpoint import CheckpointManager, save_json
 from tvc_ai_tpu.utils.logging import TrainingLogger, make_output_dir
+from tvc_ai_tpu.utils.profiling import StageTimer
 
 
 class Trainer:
@@ -123,6 +124,7 @@ class Trainer:
         )
 
         # ---- state
+        self.timer = StageTimer()
         self.carry = self._init_fn(self._next_key())
         self.stability.register_initial_params(self.carry.agent.actor_params)
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints")
@@ -191,8 +193,57 @@ class Trainer:
         t_start = time.perf_counter()
         stop_reason = "total_timesteps"
 
+        try:
+            stop_reason = self._train_loop(cfg, eval_every, save_every)
+        except KeyboardInterrupt:
+            # crash/interrupt recovery (ref scripts/train.py:912-920 saves
+            # interrupted_model.pth; here the checkpoint restores EVERYTHING)
+            stop_reason = "interrupted"
+            self.logger.warning("interrupted — saving recovery checkpoint")
+            self.ckpt.save(self.env_steps, self.carry, self._host_state(), force=True)
+        except Exception:
+            self.logger.warning("error — saving recovery checkpoint")
+            self.ckpt.save(self.env_steps, self.carry, self._host_state(), force=True)
+            self.ckpt.wait()
+            raise
+
+        # ---- final artifacts
+        elapsed = time.perf_counter() - t_start
+        final_eval = self.evaluate()
+        if self.cfg.training.checkpointing.save_last:
+            self.ckpt.save(
+                self.env_steps, self.carry, self._host_state(), force=True
+            )
+        self.ckpt.wait()
+        result = {
+            "env_steps": self.env_steps,
+            "iterations": self.iteration,
+            "wallclock_sec": elapsed,
+            "steps_per_sec": self.env_steps / max(elapsed, 1e-9),
+            "stop_reason": stop_reason,
+            "best_metric": self.best_metric,
+            "curriculum_stage": self.curriculum.stage_idx,
+            "hacking_score": self.hacking.detect_hacking().score,
+            "stage_timing": self.timer.report(),
+            **final_eval,
+        }
+        save_json(self.output_dir / "final_metrics.json", result)
+        self.curriculum.save_curriculum_data(self.output_dir / "curriculum.json")
+        self.logger.info("stage timing: %s", self.timer.summary_line())
+        self.logger.info(
+            "done: %s env steps in %.1fs (%s steps/s), final success %.2f%%",
+            f"{self.env_steps:,}",
+            elapsed,
+            f"{result['steps_per_sec']:,.0f}",
+            100 * result["eval_success_rate"],
+        )
+        self.logger.close()
+        return result
+
+    def _train_loop(self, cfg, eval_every: int, save_every: int) -> str:
         while self.env_steps < cfg.total_timesteps:
-            self.carry, metrics = self._train_fn(self.carry, self.env_params)
+            with self.timer.stage("train_iteration"):
+                self.carry, metrics = self._train_fn(self.carry, self.env_params)
             self.iteration += 1
             self.stability.step(
                 self.loop_cfg.rollout_steps * self.loop_cfg.updates_per_step
@@ -250,9 +301,8 @@ class Trainer:
                     report.indicators,
                 )
             if self.stability.should_stop_training(report.score):
-                stop_reason = "reward_hacking"
                 self.logger.warning("stopping: hacking score %.2f", report.score)
-                break
+                return "reward_hacking" 
 
             # ---- stability interventions
             if self.stability.due_primacy_reset():
@@ -281,7 +331,8 @@ class Trainer:
 
             # ---- eval / early stopping / checkpoints
             if self.iteration % eval_every == 0:
-                eval_metrics = self.evaluate()
+                with self.timer.stage("evaluate"):
+                    eval_metrics = self.evaluate()
                 self.logger.log_metrics(self.env_steps, eval_metrics)
                 self.logger.info(
                     "eval @ %s: success %.2f%% reward %.1f crash %.2f%%",
@@ -297,9 +348,10 @@ class Trainer:
                     self.best_metric = metric
                     self.eval_rounds_since_improvement = 0
                     if cfg.checkpointing.save_best:
-                        self.ckpt.save(
-                            self.env_steps, self.carry, self._host_state()
-                        )
+                        with self.timer.stage("checkpoint"):
+                            self.ckpt.save(
+                                self.env_steps, self.carry, self._host_state()
+                            )
                         self.logger.info(
                             "new best %s=%.3f — checkpoint saved",
                             cfg.early_stopping.metric,
@@ -312,45 +364,15 @@ class Trainer:
                         and self.eval_rounds_since_improvement
                         >= cfg.early_stopping.patience
                     ):
-                        stop_reason = "early_stopping"
                         self.logger.info(
                             "early stopping after %d eval rounds w/o improvement",
                             self.eval_rounds_since_improvement,
                         )
-                        break
+                        return "early_stopping"
             elif cfg.checkpointing.save_periodic and self.iteration % save_every == 0:
-                self.ckpt.save(self.env_steps, self.carry, self._host_state())
-
-        # ---- final artifacts
-        elapsed = time.perf_counter() - t_start
-        final_eval = self.evaluate()
-        if self.cfg.training.checkpointing.save_last:
-            self.ckpt.save(
-                self.env_steps, self.carry, self._host_state(), force=True
-            )
-        self.ckpt.wait()
-        result = {
-            "env_steps": self.env_steps,
-            "iterations": self.iteration,
-            "wallclock_sec": elapsed,
-            "steps_per_sec": self.env_steps / max(elapsed, 1e-9),
-            "stop_reason": stop_reason,
-            "best_metric": self.best_metric,
-            "curriculum_stage": self.curriculum.stage_idx,
-            "hacking_score": self.hacking.detect_hacking().score,
-            **final_eval,
-        }
-        save_json(self.output_dir / "final_metrics.json", result)
-        self.curriculum.save_curriculum_data(self.output_dir / "curriculum.json")
-        self.logger.info(
-            "done: %s env steps in %.1fs (%s steps/s), final success %.2f%%",
-            f"{self.env_steps:,}",
-            elapsed,
-            f"{result['steps_per_sec']:,.0f}",
-            100 * result["eval_success_rate"],
-        )
-        self.logger.close()
-        return result
+                with self.timer.stage("checkpoint"):
+                    self.ckpt.save(self.env_steps, self.carry, self._host_state())
+        return "total_timesteps"
 
     # ------------------------------------------------------------------ eval
     def evaluate(self) -> dict[str, float]:
