@@ -49,13 +49,16 @@ def main() -> int:
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    obs_dim = args.obs_dim if args.obs_dim != 10 else None
     if args.suite == "all":
         results = run_all_suites(
-            agent_state, sac_cfg, out, args.episodes_scale, args.seed
+            agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
-        result = run_suite(agent_state, sac_cfg, args.suite, episodes, args.seed)
+        result = run_suite(
+            agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim
+        )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}
 

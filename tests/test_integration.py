@@ -75,9 +75,11 @@ def test_save_load_action_consistency(tmp_path):
 
 
 def test_seeded_env_consistency():
-    """Same seed → identical trajectories (ref :288-313)."""
-    def rollout(seed):
-        env = RocketTVCEnv(seed=seed)
+    """Same seed → identical trajectories (ref :288-313). Without domain
+    randomization the reset is deterministic, so different seeds also match;
+    the different-seed divergence check uses a randomized env."""
+    def rollout(seed, dr=False):
+        env = RocketTVCEnv(seed=seed, domain_randomization=dr)
         obs, _ = env.reset(seed=seed)
         traj = [obs]
         for i in range(10):
@@ -90,8 +92,8 @@ def test_seeded_env_consistency():
 
     t1, t2 = rollout(123), rollout(123)
     np.testing.assert_allclose(t1, t2, atol=1e-6)
-    t3 = rollout(456)
-    assert t3.shape != t1.shape or not np.allclose(t1, t3)
+    r1, r3 = rollout(123, dr=True), rollout(456, dr=True)
+    assert r3.shape != r1.shape or not np.allclose(r1, r3)
 
 
 def test_env_observation_sanity_bounds():
@@ -131,7 +133,7 @@ def test_eval_pipeline_with_saved_checkpoint(tmp_path):
     agent.save(path)
     cfg = CoreSACConfig(hidden_dims=(32, 32))
     state = load_agent_state(path, agent.obs_dim, agent.action_dim, cfg)
-    result = run_suite(state, cfg, "standard", num_episodes=4)
+    result = run_suite(state, cfg, "standard", num_episodes=4, obs_dim=agent.obs_dim)
     assert 0.0 <= result.metrics["eval_success_rate"] <= 1.0
     assert np.isfinite(result.metrics["eval_reward_mean"])
 

@@ -66,10 +66,11 @@ def run_suite(
     name: str,
     num_episodes: int | None = None,
     seed: int = 0,
+    obs_dim: int | None = None,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
     env_params = _suite_env_params(name)
-    eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes))
+    eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim))
     stats = eval_fn(agent_state, jax.random.PRNGKey(seed), env_params)
     metrics = summarize_stats(stats)
     # reference success criterion variant (scripts/evaluate.py:290-292):
@@ -89,13 +90,14 @@ def run_all_suites(
     output_dir: str | Path,
     episodes_scale: float = 1.0,
     seed: int = 0,
+    obs_dim: int | None = None,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     results = {}
     for name in ("standard", "robustness", "stress"):
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
-        result = run_suite(agent_state, sac_cfg, name, episodes, seed)
+        result = run_suite(agent_state, sac_cfg, name, episodes, seed, obs_dim)
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")
     (output_dir / "evaluation_summary.json").write_text(

@@ -115,10 +115,22 @@ def make_policy_eval_fn(policy_fn, num_episodes: int):
     return eval_fn
 
 
-def make_eval_fn(sac_cfg: sac_mod.SACConfig, num_episodes: int, action_dim: int = 2):
-    """SAC-policy specialization of ``make_policy_eval_fn``."""
+def make_eval_fn(
+    sac_cfg: sac_mod.SACConfig,
+    num_episodes: int,
+    action_dim: int = 2,
+    obs_dim: int | None = None,
+):
+    """SAC-policy specialization of ``make_policy_eval_fn``.
+
+    ``obs_dim`` truncates the env's 10-D observation for agents trained on
+    the legacy 8-D [quat, ω, fuel] layout (SURVEY §0.1) — the first 8 dims
+    are identical across generations.
+    """
 
     def policy_fn(agent, obs, key):
+        if obs_dim is not None:
+            obs = obs[..., :obs_dim]
         return sac_mod.select_action(
             agent, obs, key, sac_cfg, action_dim, deterministic=True
         )
