@@ -207,4 +207,20 @@ def load_agent_state(
     restored = mngr._mngr.restore(mngr.latest_step())
     mngr.close()
     agent_dict = restored["carry"]["agent"]
-    return serialization.from_state_dict(template, agent_dict)
+    # restore only what evaluation needs (params + temperature); raw orbax
+    # dicts can't round-trip the optimizer states' tuple structure without
+    # an abstract target, and eval never touches them
+    import jax.numpy as jnp
+
+    return template.replace(
+        actor_params=serialization.from_state_dict(
+            template.actor_params, agent_dict["actor_params"]
+        ),
+        critic_params=serialization.from_state_dict(
+            template.critic_params, agent_dict["critic_params"]
+        ),
+        target_critic_params=serialization.from_state_dict(
+            template.target_critic_params, agent_dict["target_critic_params"]
+        ),
+        log_alpha=jnp.asarray(agent_dict["log_alpha"]),
+    )

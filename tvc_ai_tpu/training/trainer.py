@@ -92,8 +92,14 @@ class Trainer:
         )
         self.loop_cfg = build_loop_config(cfg)
         self.env_params = build_env_params(cfg, self.curriculum.get_environment_config())
-        # eval: no curriculum overlay — the full nominal task
-        self.eval_env_params = build_env_params(cfg)
+        # eval: nominal task, NO randomization — like the reference's
+        # make_evaluation_env(domain_randomization=False) default
+        import copy
+
+        eval_cfg = copy.deepcopy(cfg)
+        eval_cfg.env.domain_randomization.enabled = False
+        eval_cfg.env.domain_randomization.sensor_noise_enabled = False
+        self.eval_env_params = build_env_params(eval_cfg)
 
         # ---- device program(s)
         self.devices = jax.devices()

@@ -106,6 +106,13 @@ class EnsembleTrainer:
         self.hacking = RewardHackingDetector()
         self.agent = ens.MultiAlgorithmAgent(config=self.ens_cfg)
         self.env_params = build_env_params(cfg, self.curriculum.get_environment_config())
+        # eval on the nominal task without randomization (reference default)
+        import copy
+
+        eval_cfg = copy.deepcopy(cfg)
+        eval_cfg.env.domain_randomization.enabled = False
+        eval_cfg.env.domain_randomization.sensor_noise_enabled = False
+        self.eval_env_params = build_env_params(eval_cfg)
 
         n = cfg.training.num_envs
         t = cfg.training.rollout_steps
@@ -238,7 +245,7 @@ class EnsembleTrainer:
         }
         for name, state in members.items():
             stats = self._eval_fns[name](
-                jax.device_get(state), self._next_key(), self.env_params
+                jax.device_get(state), self._next_key(), self.eval_env_params
             )
             for k, v in summarize_stats(stats).items():
                 out[f"{name}_{k}"] = v
