@@ -132,3 +132,29 @@ def test_replay_rejects_bad_capacity():
     buf = replay_mod.ReplayBuffer.create(10, example)
     with pytest.raises(ValueError):
         replay_mod.add_batch(buf, {"obs": jnp.zeros((4, 3))})
+
+
+def test_transformer_architecture_option():
+    """SAC with the transformer policy (network.architecture_type parity)."""
+    cfg = sac_mod.SACConfig(
+        hidden_dims=(32, 32), batch_size=8, architecture="transformer",
+        transformer_d_model=32, transformer_layers=1, transformer_heads=2,
+    )
+    agent = sac_mod.init(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, OBS_DIM))
+    a = sac_mod.select_action(agent, obs, jax.random.PRNGKey(2), cfg, ACT_DIM)
+    assert a.shape == (8, ACT_DIM)
+    assert np.all(np.abs(np.asarray(a)) <= 1.0)
+    batch = random_batch(jax.random.PRNGKey(3), n=8)
+    agent2, metrics = sac_mod.update(
+        agent, batch, jax.random.PRNGKey(4), cfg, OBS_DIM, ACT_DIM
+    )
+    assert np.isfinite(float(metrics["critic_loss"]))
+    changed = any(
+        not np.allclose(x, y)
+        for x, y in zip(
+            jax.tree.leaves(agent.actor_params),
+            jax.tree.leaves(agent2.actor_params),
+        )
+    )
+    assert changed

@@ -63,6 +63,13 @@ class SACConfig:
     tau_min: float = 0.001
     tau_max: float = 0.01
     tau_decay: float = 0.999
+    # policy architecture: "mlp" (default) or "transformer" — the reference's
+    # flagship TransformerPolicyNetwork (network.architecture_type in its
+    # config); critics stay MLP in both cases (ref SAC member :592-612)
+    architecture: str = "mlp"
+    transformer_d_model: int = 256
+    transformer_layers: int = 4
+    transformer_heads: int = 8
 
     def __post_init__(self):
         # legacy call sites pass hidden_dims as a list
@@ -128,7 +135,17 @@ def effective_tau(cfg: "SACConfig", update_step: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_networks(obs_dim: int, action_dim: int, cfg: SACConfig):
-    actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
+    if cfg.architecture == "transformer":
+        from tvc_ai_tpu.models.transformer import TransformerActor
+
+        actor = TransformerActor(
+            action_dim=action_dim,
+            d_model=cfg.transformer_d_model,
+            num_layers=cfg.transformer_layers,
+            num_heads=cfg.transformer_heads,
+        )
+    else:
+        actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
     critic = TwinQ(hidden_dims=cfg.hidden_dims)
     return actor, critic
 
@@ -162,7 +179,7 @@ def select_action(
     deterministic: bool = False,
 ) -> jnp.ndarray:
     """Policy action in [-1, 1]; works on single obs or batches."""
-    actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
+    actor, _ = make_networks(obs.shape[-1], action_dim, cfg)
     mean, log_std = actor.apply(state.actor_params, obs)
     if deterministic:
         return dist.deterministic_action(mean)

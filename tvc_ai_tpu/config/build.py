@@ -115,6 +115,10 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         learning_starts=s.learning_starts,
         gradient_clip_norm=s.grad_clip_norm,
         reward_scale=s.reward_scale,
+        architecture=cfg.network.architecture_type,
+        transformer_d_model=cfg.network.transformer.d_model,
+        transformer_layers=cfg.network.transformer.num_layers,
+        transformer_heads=cfg.network.transformer.num_heads,
     )
 
 

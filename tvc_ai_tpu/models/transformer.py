@@ -142,3 +142,30 @@ class TransformerPolicyNetwork(nn.Module):
         )[..., 0]
         mean, log_std = jnp.split(policy_out, 2, axis=-1)
         return mean, clamp_log_std(log_std), value
+
+
+class TransformerActor(nn.Module):
+    """GaussianActor-compatible facade over the transformer policy:
+    obs → (mean, log_std), dropping the value head — lets SAC/PPO swap the
+    MLP for the reference's flagship architecture via config
+    (network.architecture_type, config/config.yaml:72)."""
+
+    action_dim: int
+    d_model: int = 256
+    num_heads: int = 8
+    num_layers: int = 4
+    dim_feedforward: int = 512
+    head_hidden_dims: tuple[int, ...] = (512, 512)
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        mean, log_std, _ = TransformerPolicyNetwork(
+            action_dim=self.action_dim,
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            dim_feedforward=self.dim_feedforward,
+            head_hidden_dims=self.head_hidden_dims,
+            dropout=0.0,  # SAC's entropy handles exploration; keep apply pure
+        )(obs, deterministic=True)
+        return mean, log_std
