@@ -190,12 +190,13 @@ class EnsembleTrainer:
             if ep_delta > 0:
                 mean_ret = (return_sum - self._last_return_sum) / ep_delta
                 rate = (successes - self._last_successes) / ep_delta
-                credited = actor if actor != "ensemble" else "ppo"
-                for algo in self.ens_cfg.algorithms:
-                    if actor == "ensemble" or algo == actor:
-                        self.agent.update_performance(algo if actor == "ensemble" else credited, mean_ret)
-                        if actor != "ensemble":
-                            break
+                # credit the acting algorithm; a blended ("ensemble") rollout
+                # credits every member (they all contributed to the action)
+                credited = (
+                    self.ens_cfg.algorithms if actor == "ensemble" else (actor,)
+                )
+                for algo in credited:
+                    self.agent.update_performance(algo, mean_ret)
                 self.curriculum.update(ep_delta, rate)
                 self.hacking.add_episode(mean_ret, rate > 0.5, 500)
             self._last_episodes = episodes
