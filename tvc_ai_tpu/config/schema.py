@@ -348,6 +348,21 @@ class EnvSection:
 
 
 @dataclass
+class StabilitySection:
+    """Training-stability knobs (utils/training_stability.py's StabilityConfig)."""
+
+    enable_lr_scheduling: bool = False
+    scheduler_type: str = "warmup_cosine"
+    enable_plasticity_preservation: bool = True
+    dormant_check_interval: int = 5000
+    enable_primacy_mitigation: bool = True
+    reset_interval: int = 50_000
+    reset_ratio: float = 0.05
+    adaptive_tau: bool = False
+    hacking_stop_threshold: float = 0.9
+
+
+@dataclass
 class LoggingConfig:
     level: str = "INFO"
     tensorboard: bool = True
@@ -419,6 +434,7 @@ class FrameworkConfig:
     reward_function: RewardSection = field(default_factory=RewardSection)
     curriculum: CurriculumConfig = field(default_factory=CurriculumConfig)
     safety: SafetyConfig = field(default_factory=SafetyConfig)
+    stability: StabilitySection = field(default_factory=StabilitySection)
     training: TrainingConfig = field(default_factory=TrainingConfig)
     env: EnvSection = field(default_factory=EnvSection)
     logging: LoggingConfig = field(default_factory=LoggingConfig)

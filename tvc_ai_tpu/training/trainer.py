@@ -76,8 +76,20 @@ class Trainer:
         # ---- subsystems
         self.curriculum = CurriculumManager(cfg)
         self.hacking = RewardHackingDetector()
+        st = cfg.stability
         self.stability = TrainingStabilityManager(
-            StabilityConfig(), cfg.training.total_timesteps
+            StabilityConfig(
+                enable_lr_scheduling=st.enable_lr_scheduling,
+                scheduler_type=st.scheduler_type,
+                enable_plasticity_preservation=st.enable_plasticity_preservation,
+                dormant_check_interval=st.dormant_check_interval,
+                enable_primacy_mitigation=st.enable_primacy_mitigation,
+                reset_interval=st.reset_interval,
+                reset_ratio=st.reset_ratio,
+                adaptive_tau=st.adaptive_tau,
+                hacking_stop_threshold=st.hacking_stop_threshold,
+            ),
+            cfg.training.total_timesteps,
         )
 
         # ---- configs
