@@ -38,3 +38,24 @@ def test_fused_train_iteration():
     summary = loop_mod.summarize(carry)
     assert summary["env_steps"] == 8 * 32
     assert summary["buffer_size"] > 0
+
+
+@pytest.mark.integration
+def test_fused_loop_with_safety_and_curiosity():
+    """Enhanced-env extensions fused into the train program."""
+    env_params = EnvParams()
+    sac_cfg = SACConfig(
+        hidden_dims=(16, 16), batch_size=16, buffer_size=1024, learning_starts=64
+    )
+    loop_cfg = loop_mod.TrainLoopConfig(
+        num_envs=4, rollout_steps=8, use_safety_layer=True, use_curiosity=True,
+    )
+    carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
+    assert carry.icm is not None
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+    icm0 = jax.tree.leaves(carry.icm.params)[0]
+    carry, metrics = it(carry, env_params)
+    # ICM actually trained during the rollout
+    icm1 = jax.tree.leaves(carry.icm.params)[0]
+    assert not np.allclose(icm0, icm1)
+    assert np.isfinite(float(metrics["reward_mean"]))

@@ -47,6 +47,7 @@ def carry_specs(carry_like: loop_mod.TrainCarry) -> loop_mod.TrainCarry:
         agent=agent,
         buffer=buffer,
         key=P(),
+        icm=jax.tree.map(lambda _: P(), carry_like.icm),
         env_steps=P(DATA_AXIS),
         episodes=P(DATA_AXIS),
         successes=P(DATA_AXIS),
@@ -77,12 +78,8 @@ def make_sharded_train(
         raise ValueError(
             f"num_envs {loop_cfg.num_envs} must divide over {n_dev} devices"
         )
-    local_cfg = loop_mod.TrainLoopConfig(
-        num_envs=loop_cfg.num_envs // n_dev,
-        rollout_steps=loop_cfg.rollout_steps,
-        updates_per_step=loop_cfg.updates_per_step,
-        obs_dim=loop_cfg.obs_dim,
-        action_dim=loop_cfg.action_dim,
+    local_cfg = dataclasses.replace(
+        loop_cfg, num_envs=loop_cfg.num_envs // n_dev
     )
     # per-device replay shard so the global capacity matches the config
     local_sac_cfg = dataclasses.replace(

@@ -27,6 +27,8 @@ from tvc_ai_tpu.agents import replay as replay_mod
 from tvc_ai_tpu.agents import sac as sac_mod
 from tvc_ai_tpu.env import rocket_env
 from tvc_ai_tpu.env.types import ACTION_DIM, OBS_DIM, EnvParams, EnvState
+from tvc_ai_tpu.models import curiosity as icm_mod
+from tvc_ai_tpu.models.safety import SafetyConstraints, apply_safety
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +40,18 @@ class TrainLoopConfig:
     updates_per_step: int = 1       # SAC gradient steps per env step
     obs_dim: int = OBS_DIM
     action_dim: int = ACTION_DIM
+    # enhanced-env extensions (ref live path: SafetyLayer at act time,
+    # agent/multi_algorithm_agent.py:784-786; ICM intrinsic reward added in
+    # env.step, env/enhanced_rocket_tvc_env.py:496-502 — here both fuse into
+    # the same XLA program and the ICM actually trains)
+    use_safety_layer: bool = False
+    use_curiosity: bool = False
+    curiosity: icm_mod.CuriosityConfig = dataclasses.field(
+        default_factory=icm_mod.CuriosityConfig
+    )
+    safety: SafetyConstraints = dataclasses.field(
+        default_factory=SafetyConstraints
+    )
 
 
 @struct.dataclass
@@ -49,6 +63,7 @@ class TrainCarry:
     agent: sac_mod.SACState
     buffer: replay_mod.ReplayBuffer
     key: jnp.ndarray
+    icm: Any                        # CuriosityState or None (curiosity off)
     # Per-env counters — kept as (N,) arrays (not scalars) so every
     # env-indexed leaf shards uniformly along the data axis under shard_map.
     env_steps: jnp.ndarray          # (N,) i32 steps taken by each env slot
@@ -82,6 +97,11 @@ def init_carry(
     capacity = sac_cfg.buffer_size - (sac_cfg.buffer_size % loop_cfg.num_envs)
     capacity = max(capacity, loop_cfg.num_envs)
     buffer = replay_mod.ReplayBuffer.create(capacity, example)
+    icm_state = (
+        icm_mod.init(jax.random.fold_in(k_agent, 7), loop_cfg.curiosity)
+        if loop_cfg.use_curiosity
+        else None
+    )
     # NOTE: each counter gets its OWN zero array — sharing one buffer across
     # fields breaks donation ("attempt to donate the same buffer twice")
     # when the carry is built eagerly.
@@ -97,6 +117,7 @@ def init_carry(
         agent=agent,
         buffer=buffer,
         key=k_loop,
+        icm=icm_state,
         env_steps=zeros_i(),
         episodes=zeros_i(),
         successes=zeros_i(),
@@ -136,15 +157,31 @@ def make_train_iteration(
         actions = sac_mod.select_action(
             carry.agent, carry.obs, k_act, sac_cfg, loop_cfg.action_dim
         )
+        if loop_cfg.use_safety_layer:
+            # CBF-style projection at act time (ref :784-786)
+            actions, _ = apply_safety(carry.obs, actions, loop_cfg.safety)
         env_states, out, next_obs = batched_step(
             carry.env_states, actions, env_params
         )
+
+        # --- intrinsic curiosity reward + ICM training (ref env :496-502,
+        # but the forward/inverse models actually take gradient steps here)
+        icm_state = carry.icm
+        reward = out.reward
+        if loop_cfg.use_curiosity:
+            intrinsic = icm_mod.intrinsic_reward(
+                icm_state, carry.obs, actions, out.obs, loop_cfg.curiosity
+            )
+            reward = reward + intrinsic
+            icm_state, _ = icm_mod.update(
+                icm_state, carry.obs, actions, out.obs, loop_cfg.curiosity
+            )
 
         # --- replay write (terminated-only done: truncation bootstraps)
         transitions = {
             "obs": carry.obs,
             "action": actions,
-            "reward": out.reward,
+            "reward": reward,
             "next_obs": out.obs,
             "done": out.terminated.astype(jnp.float32),
         }
@@ -207,6 +244,7 @@ def make_train_iteration(
             agent=agent,
             buffer=buffer,
             key=k_next,
+            icm=icm_state,
             env_steps=carry.env_steps + 1,
             episodes=episodes,
             successes=successes,
