@@ -40,6 +40,7 @@ def main() -> int:
 
     cfg = load_config(None)
     cfg.env.domain_randomization.enabled = args.randomize
+    cfg.env.domain_randomization.sensor_noise_enabled = args.randomize
     env_params = build_env_params(cfg)
     sac_cfg = sac_mod.SACConfig(hidden_dims=tuple(args.hidden))
     agent = load_agent_state(args.model_path, args.obs_dim, 2, sac_cfg)

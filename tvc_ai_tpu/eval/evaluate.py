@@ -72,15 +72,7 @@ def run_suite(
     env_params = _suite_env_params(name)
     eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim))
     stats = eval_fn(agent_state, jax.random.PRNGKey(seed), env_params)
-    metrics = summarize_stats(stats)
-    # reference success criterion variant (scripts/evaluate.py:290-292):
-    # final tilt < 20°, length > 200, altitude > 0.5
-    legacy_success = (
-        (np.asarray(stats.max_tilt) < np.radians(20.0))
-        & (np.asarray(stats.lengths) > 200)
-        & (np.asarray(stats.final_altitude) > 0.5)
-    )
-    metrics["eval_legacy_success_rate"] = float(legacy_success.mean())
+    metrics = summarize_stats(stats)  # includes eval_legacy_success_rate
     return SuiteResult(name=name, stats=stats, metrics=metrics)
 
 
@@ -204,7 +196,24 @@ def load_agent_state(
     from tvc_ai_tpu.utils.checkpoint import CheckpointManager
 
     mngr = CheckpointManager(path)
-    restored = mngr._mngr.restore(mngr.latest_step())
+    step = mngr.latest_step()
+    try:
+        restored = mngr._mngr.restore(step)
+    except ValueError:
+        # checkpoint written on another device type (e.g. TPU → CPU host):
+        # embedded shardings don't resolve; re-restore every leaf as numpy
+        import orbax.checkpoint as ocp
+
+        meta = mngr._mngr.item_metadata(step)["carry"]
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta,
+        )
+        restored = mngr._mngr.restore(
+            step,
+            args=ocp.args.Composite(carry=ocp.args.StandardRestore(abstract)),
+        )
     mngr.close()
     agent_dict = restored["carry"]["agent"]
     # restore only what evaluation needs (params + temperature); raw orbax

@@ -159,4 +159,14 @@ def summarize_stats(stats: EpisodeStats) -> dict[str, float]:
     }
     for p in (25, 50, 75, 90, 95):
         out[f"eval_reward_p{p}"] = float(np.percentile(returns, p))
+    # the reference's own (weaker) success criterion
+    # (scripts/evaluate.py:290-292): tilt stayed under 20°, episode outlived
+    # 200 steps, ended above 0.5 m — max_tilt is a conservative stand-in for
+    # its final-tilt check
+    legacy = (
+        (np.asarray(stats.max_tilt) < np.radians(20.0))
+        & (np.asarray(stats.lengths) > 200)
+        & (np.asarray(stats.final_altitude) >= 0.5)
+    )
+    out["eval_legacy_success_rate"] = float(legacy.mean())
     return out
