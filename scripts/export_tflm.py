@@ -25,22 +25,14 @@ def load_actor_params(model_path: str, obs_dim: int, action_dim: int, hidden):
         # legacy SACAgent payload: state -> actor_params
         actor = state.get("actor_params", state)
         return {"params": actor["params"]} if "params" in actor else {"params": actor}
-    # orbax checkpoint dir from the trainer
-    import jax
-
+    # orbax checkpoint dir from the trainer — reuse the eval loader (handles
+    # cross-device restores and optimizer-state structure)
     from tvc_ai_tpu.agents import sac as sac_mod
-    from tvc_ai_tpu.utils.checkpoint import CheckpointManager
+    from tvc_ai_tpu.eval.evaluate import load_agent_state
 
     cfg = sac_mod.SACConfig(hidden_dims=tuple(hidden))
-    abstract_agent = jax.eval_shape(
-        lambda k: sac_mod.init(k, obs_dim, action_dim, cfg), jax.random.PRNGKey(0)
-    )
-    mngr = CheckpointManager(path)
-    # trainer checkpoints store the full carry; restore loosely and pick actor
-    restored = mngr._mngr.restore(mngr.latest_step())
-    carry = restored["carry"]
-    mngr.close()
-    return carry["agent"]["actor_params"]
+    state = load_agent_state(path, obs_dim, action_dim, cfg)
+    return state.actor_params
 
 
 def main() -> int:
