@@ -170,14 +170,50 @@ class Trainer:
         }
 
     def _resume(self, resume_dir) -> None:
+        """Field-tolerant resume: restores by the ON-DISK structure and
+        merges it into the current carry field by field, so checkpoints
+        written before optional fields (e.g. ``icm``) were added still load."""
+        from flax import serialization
+
         mngr = CheckpointManager(Path(resume_dir))
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape")
-            else x,
-            self.carry,
+        step = mngr.latest_step()
+        meta = mngr._mngr.item_metadata(step)["carry"]
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract_disk = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta,
         )
-        self.carry, host = mngr.restore(abstract)
+        restored = mngr._mngr.restore(
+            step,
+            args=mngr._ocp.args.Composite(
+                carry=mngr._ocp.args.StandardRestore(abstract_disk),
+                host=mngr._ocp.args.JsonRestore(),
+            ),
+        )
+        disk_carry = restored["carry"]
+        host = restored.get("host") or {}
+        updates = {}
+        def fill(target_sd, disk_sd):
+            """Backfill disk gaps (None placeholders for empty optax states,
+            fields added after the checkpoint was written) from the target."""
+            if disk_sd is None:
+                return target_sd
+            if isinstance(disk_sd, dict) and isinstance(target_sd, dict):
+                return {
+                    k: fill(target_sd[k], disk_sd.get(k, target_sd[k]))
+                    for k in target_sd
+                }
+            return disk_sd
+
+        for field in self.carry.__dataclass_fields__:
+            if field in disk_carry and disk_carry[field] is not None:
+                target = getattr(self.carry, field)
+                target_sd = serialization.to_state_dict(target)
+                disk_sd = serialization.to_state_dict(disk_carry[field])
+                updates[field] = serialization.from_state_dict(
+                    target, fill(target_sd, disk_sd)
+                )
+        self.carry = self.carry.replace(**updates)
         self.iteration = int(host.get("iteration", 0))
         self.best_metric = float(host.get("best_metric", float("-inf")))
         self.curriculum.load_state_dict(host.get("curriculum", {}))
