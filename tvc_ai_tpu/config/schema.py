@@ -312,6 +312,12 @@ class TrainingConfig:
     rollout_steps: int = 128   # env steps per fused iteration
     updates_per_step: int = 1
     algorithm: str = "sac"     # sac | ppo | td3 | ensemble
+    # keep IMU noise in evaluation episodes: without any randomization a
+    # deterministic policy makes all eval episodes identical, so the success
+    # rate degenerates to a 0/1 coin on threshold-edge behavior; σ=0.02
+    # noise diversifies episodes into a meaningful statistic. False matches
+    # the reference's sterile make_evaluation_env default.
+    eval_sensor_noise: bool = False
     early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
     checkpointing: CheckpointConfig = field(default_factory=CheckpointConfig)
 

@@ -110,7 +110,9 @@ class Trainer:
 
         eval_cfg = copy.deepcopy(cfg)
         eval_cfg.env.domain_randomization.enabled = False
-        eval_cfg.env.domain_randomization.sensor_noise_enabled = False
+        eval_cfg.env.domain_randomization.sensor_noise_enabled = (
+            cfg.training.eval_sensor_noise
+        )
         self.eval_env_params = build_env_params(eval_cfg)
 
         # ---- device program(s)
