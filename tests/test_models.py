@@ -210,3 +210,38 @@ def test_physics_loss_penalizes_violations():
     assert float(total) > 0.1
     assert float(losses["momentum_conservation"]) > 0
     assert float(losses["quaternion_normalization"]) > 0
+
+
+# -------------------------------------------------------------------- RND
+
+
+def test_rnd_bonus_decays_on_familiar_states():
+    from tvc_ai_tpu.models import rnd
+
+    cfg = rnd.RNDConfig(hidden_dims=(64, 32), embed_dim=16)
+    state = rnd.init(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (128, 8))
+    raw0 = float(jnp.mean(rnd.raw_bonus(state, obs, cfg)))
+    upd = jax.jit(lambda s: rnd.update(s, obs, cfg)[0])
+    for _ in range(150):
+        state = upd(state)
+    raw1 = float(jnp.mean(rnd.raw_bonus(state, obs, cfg)))
+    assert raw1 < raw0 * 0.5  # familiar states become boring
+
+    # novel states still score higher than familiar ones
+    novel = jax.random.normal(jax.random.PRNGKey(2), (128, 8)) * 3.0
+    raw_novel = float(jnp.mean(rnd.raw_bonus(state, novel, cfg)))
+    assert raw_novel > raw1
+
+
+def test_rnd_target_is_frozen():
+    from tvc_ai_tpu.models import rnd
+
+    cfg = rnd.RNDConfig(hidden_dims=(32,), embed_dim=8)
+    state = rnd.init(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    t0 = jax.tree.leaves(state.target_params)
+    state, metrics = rnd.update(state, obs, cfg)
+    t1 = jax.tree.leaves(state.target_params)
+    assert all(np.allclose(a, b) for a, b in zip(t0, t1))
+    assert np.isfinite(float(metrics["rnd_loss"]))
