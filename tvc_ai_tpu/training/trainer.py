@@ -148,6 +148,12 @@ class Trainer:
         self.carry = self._init_fn(self._next_key())
         self.stability.register_initial_params(self.carry.agent.actor_params)
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints")
+        # best checkpoints live in their own manager so periodic-save
+        # garbage collection can never evict them (the reference's
+        # best_model.pth vs checkpoint_{steps}.pth distinction)
+        self.ckpt_best = CheckpointManager(
+            self.output_dir / "checkpoints_best", max_to_keep=2
+        )
         self.best_metric = float("-inf")
         self.eval_rounds_since_improvement = 0
         self.iteration = 0
@@ -271,6 +277,7 @@ class Trainer:
                 self.env_steps, self.carry, self._host_state(), force=True
             )
         self.ckpt.wait()
+        self.ckpt_best.wait()
         result = {
             "env_steps": self.env_steps,
             "iterations": self.iteration,
@@ -405,7 +412,7 @@ class Trainer:
                     self.eval_rounds_since_improvement = 0
                     if cfg.checkpointing.save_best:
                         with self.timer.stage("checkpoint"):
-                            self.ckpt.save(
+                            self.ckpt_best.save(
                                 self.env_steps, self.carry, self._host_state()
                             )
                         self.logger.info(
