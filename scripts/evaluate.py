@@ -25,6 +25,8 @@ def main() -> int:
     parser.add_argument("--suite", choices=["standard", "robustness", "stress",
                                             "all"], default="all")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--rocket_mass", type=float, default=2.0,
+                        help="suite nominal mass (1.5 = legacy-gen policies)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -52,12 +54,14 @@ def main() -> int:
     obs_dim = args.obs_dim if args.obs_dim != 10 else None
     if args.suite == "all":
         results = run_all_suites(
-            agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim
+            agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
+            args.rocket_mass,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
-            agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim
+            agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
+            args.rocket_mass,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}

@@ -38,18 +38,23 @@ class SuiteResult:
     metrics: dict[str, float]
 
 
-def _suite_env_params(name: str) -> EnvParams:
+def _suite_env_params(name: str, rocket_mass: float = 2.0) -> EnvParams:
+    """Suite env construction. ``rocket_mass`` defaults to the enhanced
+    generation's nominal 2.0 kg (what current policies train on); pass 1.5
+    to evaluate legacy-generation policies on the legacy RocketConfig
+    nominal."""
     if name == "standard":
-        return RocketConfig().to_env_params(
+        return RocketConfig(mass=rocket_mass).to_env_params(
             domain_randomization=False, sensor_noise=False, max_episode_steps=2000
         )
     if name == "robustness":
-        return RocketConfig().to_env_params(
+        return RocketConfig(mass=rocket_mass).to_env_params(
             domain_randomization=True, sensor_noise=True, max_episode_steps=1000
         )
     if name == "stress":
         cfg = RocketConfig(
-            mass_variation=0.5, thrust_variation=0.5, cg_offset_max=0.1
+            mass=rocket_mass, mass_variation=0.5, thrust_variation=0.5,
+            cg_offset_max=0.1,
         )
         return cfg.to_env_params(
             domain_randomization=True, sensor_noise=True, max_episode_steps=1500
@@ -67,9 +72,10 @@ def run_suite(
     num_episodes: int | None = None,
     seed: int = 0,
     obs_dim: int | None = None,
+    rocket_mass: float = 2.0,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
-    env_params = _suite_env_params(name)
+    env_params = _suite_env_params(name, rocket_mass)
     eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim))
     stats = eval_fn(agent_state, jax.random.PRNGKey(seed), env_params)
     metrics = summarize_stats(stats)  # includes eval_legacy_success_rate
@@ -83,13 +89,16 @@ def run_all_suites(
     episodes_scale: float = 1.0,
     seed: int = 0,
     obs_dim: int | None = None,
+    rocket_mass: float = 2.0,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     results = {}
     for name in ("standard", "robustness", "stress"):
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
-        result = run_suite(agent_state, sac_cfg, name, episodes, seed, obs_dim)
+        result = run_suite(
+            agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass
+        )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")
     (output_dir / "evaluation_summary.json").write_text(
