@@ -180,7 +180,13 @@ class Trainer:
     def _resume(self, resume_dir) -> None:
         """Field-tolerant resume: restores by the ON-DISK structure and
         merges it into the current carry field by field, so checkpoints
-        written before optional fields (e.g. ``icm``) were added still load."""
+        written before optional fields (e.g. ``icm``) were added still load.
+
+        NOTE: array shapes follow the CHECKPOINT, not the new config — a run
+        resumed with a different ``training.num_envs`` or buffer size keeps
+        the checkpoint's env batch and replay capacity (the jitted program
+        traces from the restored shapes). Static cadence settings
+        (rollout_steps, updates_per_step, batch_size) do take effect."""
         from flax import serialization
 
         mngr = CheckpointManager(Path(resume_dir))
