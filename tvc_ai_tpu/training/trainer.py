@@ -191,6 +191,11 @@ class Trainer:
 
         mngr = CheckpointManager(Path(resume_dir))
         step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no completed checkpoints under {resume_dir} (a process killed "
+                "mid-save leaves only *.orbax-checkpoint-tmp dirs)"
+            )
         meta = mngr._mngr.item_metadata(step)["carry"]
         sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         abstract_disk = jax.tree.map(
@@ -230,6 +235,11 @@ class Trainer:
         self.carry = self.carry.replace(**updates)
         self.iteration = int(host.get("iteration", 0))
         self.best_metric = float(host.get("best_metric", float("-inf")))
+        if self.ckpt_best.latest_step() is None:
+            # resuming into a FRESH run (empty best manager): a best_metric
+            # inherited from a different eval regime (e.g. sterile → noisy)
+            # would silently suppress all best saves — start best tracking anew
+            self.best_metric = float("-inf")
         self.curriculum.load_state_dict(host.get("curriculum", {}))
         self.stability.load_state_dict(host.get("stability", {}))
         self._last_episodes = int(host.get("last_episodes", 0))
