@@ -59,3 +59,37 @@ def test_fused_loop_with_safety_and_curiosity():
     icm1 = jax.tree.leaves(carry.icm.params)[0]
     assert not np.allclose(icm0, icm1)
     assert np.isfinite(float(metrics["reward_mean"]))
+
+
+@pytest.mark.integration
+def test_history_conditioned_loop():
+    """history_len=3: the policy sees stacked observations; the window
+    shifts each step and refills on episode reset."""
+    env_params = EnvParams(max_episode_steps=5)
+    sac_cfg = SACConfig(
+        hidden_dims=(16, 16), batch_size=8, buffer_size=512, learning_starts=32
+    )
+    loop_cfg = loop_mod.TrainLoopConfig(
+        num_envs=4, rollout_steps=12, history_len=3
+    )
+    carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
+    assert carry.obs.shape == (4, 30)  # 3 × 10-D obs flattened
+    assert carry.obs_window.shape == (4, 3, 10)
+    # initial window = first obs tiled
+    assert np.allclose(carry.obs_window[:, 0], carry.obs_window[:, 2])
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+    carry, metrics = it(carry, env_params)
+    assert np.isfinite(float(metrics["reward_mean"]))
+    # with 5-step episodes and 12 steps rolled, every env reset at least once;
+    # windows hold 3 DIFFERENT frames mid-episode (progress dim differs)
+    w = np.asarray(carry.obs_window)
+    assert w.shape == (4, 3, 10)
+    # replay stores stacked obs
+    assert carry.buffer.data["obs"].shape[-1] == 30
+    # agent params sized for stacked input
+    kernel = jax.tree.leaves(carry.agent.actor_params)[0]
+    # (find the hidden_0 kernel: input dim 30)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(carry.agent.actor_params["params"])
+    assert flat[("hidden_0", "kernel")].shape[0] == 30

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -48,6 +49,9 @@ def carry_specs(carry_like: loop_mod.TrainCarry) -> loop_mod.TrainCarry:
         buffer=buffer,
         key=P(),
         icm=jax.tree.map(lambda _: P(), carry_like.icm),
+        obs_window=(
+            P(DATA_AXIS) if carry_like.obs_window is not None else None
+        ),
         env_steps=P(DATA_AXIS),
         episodes=P(DATA_AXIS),
         successes=P(DATA_AXIS),
@@ -103,7 +107,13 @@ def make_sharded_train(
         env_states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
             env_keys, env_params
         )
-        return carry.replace(env_states=env_states, obs=obs)
+        obs_window = carry.obs_window
+        if local_cfg.history_len > 1:
+            obs_window = jnp.tile(obs[:, None, :], (1, local_cfg.history_len, 1))
+            obs = obs_window.reshape(local_cfg.num_envs, -1)
+        return carry.replace(
+            env_states=env_states, obs=obs, obs_window=obs_window
+        )
 
     # build spec trees from an abstract carry
     abstract = jax.eval_shape(

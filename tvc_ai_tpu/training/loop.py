@@ -46,6 +46,12 @@ class TrainLoopConfig:
     # the same XLA program and the ICM actually trains)
     use_safety_layer: bool = False
     use_curiosity: bool = False
+    # history conditioning: the policy consumes the last `history_len`
+    # observations (flattened [oldest..newest]); 1 = memoryless (default).
+    # The transformer policy's sequence mode (SURVEY §5: PosEnc supports
+    # 5000, forward(obs, sequence_length) hints an unused history mode)
+    # becomes trainable through this.
+    history_len: int = 1
     curiosity: icm_mod.CuriosityConfig = dataclasses.field(
         default_factory=icm_mod.CuriosityConfig
     )
@@ -64,6 +70,7 @@ class TrainCarry:
     buffer: replay_mod.ReplayBuffer
     key: jnp.ndarray
     icm: Any                        # CuriosityState or None (curiosity off)
+    obs_window: Any                 # (N, history_len, obs_dim) or None
     # Per-env counters — kept as (N,) arrays (not scalars) so every
     # env-indexed leaf shards uniformly along the data axis under shard_map.
     env_steps: jnp.ndarray          # (N,) i32 steps taken by each env slot
@@ -73,6 +80,11 @@ class TrainCarry:
     ep_length: jnp.ndarray          # (N,) running per-env episode length
     return_sum: jnp.ndarray         # (N,) sum of finished-episode returns
     length_sum: jnp.ndarray         # (N,) sum of finished-episode lengths
+
+
+def policy_obs_dim(loop_cfg: TrainLoopConfig) -> int:
+    """Dimensionality the agent actually sees (env obs × history)."""
+    return loop_cfg.obs_dim * loop_cfg.history_len
 
 
 def init_carry(
@@ -86,12 +98,18 @@ def init_carry(
     env_states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
         env_keys, env_params
     )
-    agent = sac_mod.init(k_agent, loop_cfg.obs_dim, loop_cfg.action_dim, sac_cfg)
+    obs_window = None
+    if loop_cfg.history_len > 1:
+        obs_window = jnp.tile(obs[:, None, :], (1, loop_cfg.history_len, 1))
+        obs = obs_window.reshape(loop_cfg.num_envs, -1)
+    agent = sac_mod.init(
+        k_agent, policy_obs_dim(loop_cfg), loop_cfg.action_dim, sac_cfg
+    )
     example = {
-        "obs": jnp.zeros(loop_cfg.obs_dim, jnp.float32),
+        "obs": jnp.zeros(policy_obs_dim(loop_cfg), jnp.float32),
         "action": jnp.zeros(loop_cfg.action_dim, jnp.float32),
         "reward": jnp.float32(0.0),
-        "next_obs": jnp.zeros(loop_cfg.obs_dim, jnp.float32),
+        "next_obs": jnp.zeros(policy_obs_dim(loop_cfg), jnp.float32),
         "done": jnp.float32(0.0),
     }
     capacity = sac_cfg.buffer_size - (sac_cfg.buffer_size % loop_cfg.num_envs)
@@ -118,6 +136,7 @@ def init_carry(
         buffer=buffer,
         key=k_loop,
         icm=icm_state,
+        obs_window=obs_window,
         env_steps=zeros_i(),
         episodes=zeros_i(),
         successes=zeros_i(),
@@ -164,17 +183,39 @@ def make_train_iteration(
             carry.env_states, actions, env_params
         )
 
+        # --- history window: shift in the true next obs; on done, refill the
+        # whole window with the fresh episode's first obs
+        obs_window = carry.obs_window
+        if loop_cfg.history_len > 1:
+            done_now = (out.terminated | out.truncated)[:, None, None]
+            shifted = jnp.concatenate(
+                [carry.obs_window[:, 1:], out.obs[:, None, :]], axis=1
+            )
+            fresh = jnp.tile(next_obs[:, None, :], (1, loop_cfg.history_len, 1))
+            obs_window = jnp.where(done_now, fresh, shifted)
+            # stacked views for the policy/replay
+            stacked_next_true = shifted.reshape(shifted.shape[0], -1)
+            stacked_next_policy = obs_window.reshape(obs_window.shape[0], -1)
+        else:
+            stacked_next_true = out.obs
+            stacked_next_policy = next_obs
+
         # --- intrinsic curiosity reward + ICM training (ref env :496-502,
         # but the forward/inverse models actually take gradient steps here)
         icm_state = carry.icm
         reward = out.reward
         if loop_cfg.use_curiosity:
+            cur_frame = (
+                carry.obs[:, -loop_cfg.obs_dim :]
+                if loop_cfg.history_len > 1
+                else carry.obs
+            )
             intrinsic = icm_mod.intrinsic_reward(
-                icm_state, carry.obs, actions, out.obs, loop_cfg.curiosity
+                icm_state, cur_frame, actions, out.obs, loop_cfg.curiosity
             )
             reward = reward + intrinsic
             icm_state, _ = icm_mod.update(
-                icm_state, carry.obs, actions, out.obs, loop_cfg.curiosity
+                icm_state, cur_frame, actions, out.obs, loop_cfg.curiosity
             )
 
         # --- replay write (terminated-only done: truncation bootstraps)
@@ -182,7 +223,7 @@ def make_train_iteration(
             "obs": carry.obs,
             "action": actions,
             "reward": reward,
-            "next_obs": out.obs,
+            "next_obs": stacked_next_true,
             "done": out.terminated.astype(jnp.float32),
         }
         buffer = replay_mod.add_batch(carry.buffer, transitions)
@@ -196,7 +237,7 @@ def make_train_iteration(
                 batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
                 agent, metrics = sac_mod.update(
                     agent, batch, k_u, sac_cfg,
-                    loop_cfg.obs_dim, loop_cfg.action_dim, axis_name,
+                    policy_obs_dim(loop_cfg), loop_cfg.action_dim, axis_name,
                 )
                 return (agent, key), metrics
             (agent, _), metrics = jax.lax.scan(
@@ -240,11 +281,12 @@ def make_train_iteration(
 
         new_carry = TrainCarry(
             env_states=env_states,
-            obs=next_obs,
+            obs=stacked_next_policy,
             agent=agent,
             buffer=buffer,
             key=k_next,
             icm=icm_state,
+            obs_window=obs_window,
             env_steps=carry.env_steps + 1,
             episodes=episodes,
             successes=successes,
