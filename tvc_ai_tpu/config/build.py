@@ -100,6 +100,7 @@ def build_env_params(
 
 def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
     s = cfg.algorithms.sac
+    st = cfg.stability
     auto_ent = isinstance(s.ent_coef, str) and s.ent_coef == "auto"
     return SACConfig(
         hidden_dims=tuple(s.hidden_dims),
@@ -119,13 +120,64 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         transformer_d_model=cfg.network.transformer.d_model,
         transformer_layers=cfg.network.transformer.num_layers,
         transformer_heads=cfg.network.transformer.num_heads,
+        # training-stability wiring: the YAML toggles reach the compiled
+        # update (the reference initialized its scheduler machinery and never
+        # called it — SURVEY §2.5; utils/training_stability.py:75-150)
+        lr_schedule=(
+            st.scheduler_type if st.enable_lr_scheduling else "constant"
+        ),
+        adaptive_tau=st.adaptive_tau,
     )
 
 
 def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
+    """Fused-loop config INCLUDING the extension stack.
+
+    The reference's live path runs the SafetyLayer on every action
+    (agent/multi_algorithm_agent.py:784-786) and adds ICM intrinsic reward
+    every env step (env/enhanced_rocket_tvc_env.py:496-502); RND is spec'd at
+    config/config.yaml ``random_network_distillation`` but unimplemented
+    there. All three are config-reachable here.
+    """
+    from tvc_ai_tpu.agents.physics_informed import PhysicsInformedConfig
+    from tvc_ai_tpu.models.curiosity import CuriosityConfig as ICMConfig
+    from tvc_ai_tpu.models.rnd import RNDConfig
+    from tvc_ai_tpu.models.safety import SafetyConstraints
+
     t = cfg.training
+    icm = cfg.exploration.curiosity
+    rnd = cfg.exploration.random_network_distillation
+    sc = cfg.safety.constraints
+    pi = cfg.physics_informed
     return TrainLoopConfig(
         num_envs=t.num_envs,
         rollout_steps=t.rollout_steps,
         updates_per_step=t.updates_per_step,
+        history_len=cfg.network.history_len,
+        use_safety_layer=cfg.safety.enabled,
+        safety=SafetyConstraints(
+            max_tilt=sc.max_tilt,
+            max_angular_velocity=sc.max_angular_velocity,
+            min_altitude=sc.min_altitude,
+            max_altitude=sc.max_altitude,
+            max_control_effort=sc.max_control_effort,
+            fuel_reserve=sc.fuel_reserve,
+        ),
+        use_curiosity=icm.enabled,
+        curiosity=ICMConfig(
+            hidden_dim=icm.hidden_dim,
+            lr=icm.lr,
+            reward_scale=icm.reward_scale,
+        ),
+        use_rnd=rnd.enabled,
+        rnd=RNDConfig(
+            hidden_dims=tuple(rnd.network_size),
+            lr=rnd.lr,
+            reward_scale=rnd.reward_scale,
+            update_frequency=rnd.update_frequency,
+        ),
+        use_physics_informed=pi.enabled,
+        physics_informed=PhysicsInformedConfig(
+            physics_weight=pi.physics_loss_weight,
+        ),
     )

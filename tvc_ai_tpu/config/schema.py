@@ -172,6 +172,10 @@ class NetworkConfig:
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     hidden_dims: list[int] = field(default_factory=lambda: [512, 512])
     use_se_block: bool = True
+    # history conditioning: the policy consumes the last N observations
+    # (the reference's unused PositionalEncoding/sequence_length hook,
+    # agent/multi_algorithm_agent.py:93,197-210, made real); 1 = memoryless
+    history_len: int = 1
 
 
 @dataclass
@@ -194,8 +198,22 @@ class CuriosityConfig:
 
 
 @dataclass
+class RNDSection:
+    """Random Network Distillation (the reference configures it at
+    config/config.yaml ``random_network_distillation`` but never implements
+    it — implemented here, models/rnd.py)."""
+
+    enabled: bool = False
+    network_size: list[int] = field(default_factory=lambda: [256, 128])
+    lr: float = 1e-4
+    reward_scale: float = 0.01
+    update_frequency: int = 100
+
+
+@dataclass
 class ExplorationConfig:
     curiosity: CuriosityConfig = field(default_factory=CuriosityConfig)
+    random_network_distillation: RNDSection = field(default_factory=RNDSection)
     action_noise: float = 0.1
 
 

@@ -152,19 +152,29 @@ class _BaseGymEnv(gym.Env):
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._state, obs = _jit_reset(self._next_key(), self._params)
+        self._last_raw_obs = np.asarray(obs)
         return self._project_obs(np.asarray(obs)), self._info()
 
     def step(self, action):
         action = jnp.asarray(np.asarray(action, dtype=np.float32))
         self._state, out = _jit_step(self._state, action, self._params)
-        obs = self._project_obs(np.asarray(out.obs))
+        raw_obs = np.asarray(out.obs)
+        obs = self._project_obs(raw_obs)
+        reward = float(out.reward)
+        info = self._info(out)
+        reward, info = self._augment_reward(reward, action, raw_obs, info)
+        self._last_raw_obs = raw_obs
         return (
             obs,
-            float(out.reward),
+            reward,
             bool(out.terminated),
             bool(out.truncated),
-            self._info(out),
+            info,
         )
+
+    def _augment_reward(self, reward, action, raw_obs, info):
+        """Hook for subclass reward shaping (e.g. curiosity bonus)."""
+        return reward, info
 
     def render(self):  # pragma: no cover - no GUI in the TPU build
         return None
@@ -188,9 +198,14 @@ class EnhancedRocketTVCEnv(_BaseGymEnv):
     """Current-generation env: 10-D obs, mission phases, multi-objective reward.
 
     Constructor signature mirrors the reference
-    (env/enhanced_rocket_tvc_env.py:279-288). The enable_* flags are kept
-    for API parity; curiosity/hierarchy live in the agent stack here (the
-    reference's in-env curiosity module was never trained anyway, SURVEY §2.1).
+    (env/enhanced_rocket_tvc_env.py:279-288). ``enable_curiosity`` is HONORED
+    with the reference's in-env semantics (intrinsic forward-model bonus added
+    to the step reward, ref :496-502); the production/fused path additionally
+    TRAINS the ICM (training.loop). ``enable_hierarchical`` and
+    ``enable_physics_informed`` are stored-without-effect exactly as in the
+    reference env (ref :294-296 stores them; no other use in the env) — the
+    real implementations live in the agent stack (models/hierarchical.py,
+    agents/physics_informed.py, both config-reachable).
     """
 
     def __init__(
@@ -229,6 +244,36 @@ class EnhancedRocketTVCEnv(_BaseGymEnv):
         self.observation_space = spaces.Box(
             low=obs_low, high=obs_high, dtype=np.float32
         )
+        self._icm = None
+        if enable_curiosity:
+            from tvc_ai_tpu.models import curiosity as icm_mod
+
+            self._icm_mod = icm_mod
+            self._icm_cfg = icm_mod.CuriosityConfig()
+            self._icm = icm_mod.init(
+                jax.random.PRNGKey(seed ^ 0x1C4), self._icm_cfg
+            )
+            self._icm_reward = jax.jit(
+                lambda state, obs, action, next_obs: icm_mod.intrinsic_reward(
+                    state, obs, action, next_obs, self._icm_cfg
+                )
+            )
+
+    def _augment_reward(self, reward, action, raw_obs, info):
+        # ref env/enhanced_rocket_tvc_env.py:496-502: intrinsic bonus =
+        # forward-model MSE × 0.01 on obs[:8], added to the extrinsic reward
+        if self._icm is not None:
+            intrinsic = float(
+                self._icm_reward(
+                    self._icm,
+                    jnp.asarray(self._last_raw_obs[None, :]),
+                    jnp.asarray(np.asarray(action, np.float32)[None, :]),
+                    jnp.asarray(raw_obs[None, :]),
+                )[0]
+            )
+            info["intrinsic_reward"] = intrinsic
+            reward = reward + intrinsic
+        return reward, info
 
 
 class RocketTVCEnv(_BaseGymEnv):

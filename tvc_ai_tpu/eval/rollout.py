@@ -33,9 +33,14 @@ class EpisodeStats(NamedTuple):
     fuel_used: jnp.ndarray      # (E,)
 
 
-def make_policy_eval_fn(policy_fn, num_episodes: int):
+def make_policy_eval_fn(policy_fn, num_episodes: int, history_len: int = 1):
     """Build jittable ``(agent_state, key, env_params) -> EpisodeStats`` for an
-    arbitrary deterministic policy ``policy_fn(agent, obs, key) -> actions``."""
+    arbitrary deterministic policy ``policy_fn(agent, obs, key) -> actions``.
+
+    ``history_len`` > 1 feeds the policy a flattened [oldest..newest] window
+    of observations (matching ``training.loop``'s history conditioning) —
+    episodes never auto-reset here, so the window only shifts.
+    """
 
     batched_step = jax.vmap(rocket_env.step, in_axes=(0, 0, None))
 
@@ -45,6 +50,8 @@ def make_policy_eval_fn(policy_fn, num_episodes: int):
         states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
             keys, env_params
         )
+        if history_len > 1:
+            obs = jnp.tile(obs[:, None, :], (1, history_len, 1))
         zero = jnp.zeros(num_episodes, jnp.float32)
         init = (
             states, obs,
@@ -62,7 +69,10 @@ def make_policy_eval_fn(policy_fn, num_episodes: int):
         def step_fn(carry, _):
             (states, obs, done, ret, length, success, crashed,
              max_tilt, max_w, effort_sum, final_alt) = carry
-            actions = policy_fn(agent, obs, k_act)
+            policy_view = (
+                obs.reshape(num_episodes, -1) if history_len > 1 else obs
+            )
+            actions = policy_fn(agent, policy_view, k_act)
             new_states, out = batched_step(states, actions, env_params)
             live = ~done
             ret = ret + jnp.where(live, out.reward, 0.0)
@@ -90,7 +100,13 @@ def make_policy_eval_fn(policy_fn, num_episodes: int):
                 new_states,
                 states,
             )
-            obs = jnp.where(done[:, None], obs, out.obs)
+            if history_len > 1:
+                shifted = jnp.concatenate(
+                    [obs[:, 1:], out.obs[:, None, :]], axis=1
+                )
+                obs = jnp.where(done[:, None, None], obs, shifted)
+            else:
+                obs = jnp.where(done[:, None], obs, out.obs)
             return (
                 states, obs, new_done, ret, length, success, crashed,
                 max_tilt, max_w, effort_sum, final_alt,
@@ -120,12 +136,14 @@ def make_eval_fn(
     num_episodes: int,
     action_dim: int = 2,
     obs_dim: int | None = None,
+    history_len: int = 1,
 ):
     """SAC-policy specialization of ``make_policy_eval_fn``.
 
     ``obs_dim`` truncates the env's 10-D observation for agents trained on
     the legacy 8-D [quat, ω, fuel] layout (SURVEY §0.1) — the first 8 dims
-    are identical across generations.
+    are identical across generations. ``history_len`` must match the value
+    the agent was trained with.
     """
 
     def policy_fn(agent, obs, key):
@@ -135,7 +153,7 @@ def make_eval_fn(
             agent, obs, key, sac_cfg, action_dim, deterministic=True
         )
 
-    return make_policy_eval_fn(policy_fn, num_episodes)
+    return make_policy_eval_fn(policy_fn, num_episodes, history_len=history_len)
 
 
 def summarize_stats(stats: EpisodeStats) -> dict[str, float]:

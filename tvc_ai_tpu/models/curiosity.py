@@ -106,12 +106,15 @@ def update(
     next_obs: jnp.ndarray,
     cfg: CuriosityConfig,
     physics_loss_fn=None,
+    axis_name: str | None = None,
 ) -> tuple[CuriosityState, dict[str, jnp.ndarray]]:
     """Joint forward+inverse gradient step (the training the reference skipped).
 
     ``physics_loss_fn(pred_next, obs, action)`` optionally adds the
     physics-informed consistency penalty (see agents.physics_informed) so the
-    learned dynamics respect conservation structure.
+    learned dynamics respect conservation structure. ``axis_name``
+    pmean-reduces gradients so the replicated ICM params stay bit-identical
+    across data-parallel shards.
     """
     net = ICMNetworks(cfg.obs_dim, cfg.action_dim, cfg.hidden_dim)
     o = obs[..., : cfg.obs_dim]
@@ -131,6 +134,8 @@ def update(
     (loss, (fwd, inv, phys)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = optax.adam(cfg.lr).update(
         grads, state.opt_state, state.params
     )

@@ -102,7 +102,11 @@ def intrinsic_reward(
 
 
 def update(
-    state: RNDState, obs: jnp.ndarray, cfg: RNDConfig, ema: float = 0.99
+    state: RNDState,
+    obs: jnp.ndarray,
+    cfg: RNDConfig,
+    ema: float = 0.99,
+    axis_name: str | None = None,
 ) -> tuple[RNDState, dict[str, jnp.ndarray]]:
     """One predictor gradient step + bonus-normalizer update.
 
@@ -119,6 +123,8 @@ def update(
         return jnp.mean((pred - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.predictor_params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = optax.adam(cfg.lr).update(
         grads, state.opt_state, state.predictor_params
     )
@@ -127,6 +133,10 @@ def update(
     err = raw_bonus(state, obs, cfg)
     batch_mean = jnp.mean(err)
     batch_var = jnp.var(err)
+    if axis_name is not None:
+        # keep the replicated normalizer state identical across shards
+        batch_mean = jax.lax.pmean(batch_mean, axis_name)
+        batch_var = jax.lax.pmean(batch_var, axis_name)
     new_state = state.replace(
         predictor_params=predictor,
         opt_state=opt_state,

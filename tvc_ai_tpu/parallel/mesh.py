@@ -49,6 +49,7 @@ def carry_specs(carry_like: loop_mod.TrainCarry) -> loop_mod.TrainCarry:
         buffer=buffer,
         key=P(),
         icm=jax.tree.map(lambda _: P(), carry_like.icm),
+        rnd=jax.tree.map(lambda _: P(), carry_like.rnd),
         obs_window=(
             P(DATA_AXIS) if carry_like.obs_window is not None else None
         ),

@@ -25,9 +25,14 @@ from flax import struct
 
 from tvc_ai_tpu.agents import replay as replay_mod
 from tvc_ai_tpu.agents import sac as sac_mod
+from tvc_ai_tpu.agents.physics_informed import (
+    PhysicsInformedConfig,
+    make_icm_physics_loss,
+)
 from tvc_ai_tpu.env import rocket_env
 from tvc_ai_tpu.env.types import ACTION_DIM, OBS_DIM, EnvParams, EnvState
 from tvc_ai_tpu.models import curiosity as icm_mod
+from tvc_ai_tpu.models import rnd as rnd_mod
 from tvc_ai_tpu.models.safety import SafetyConstraints, apply_safety
 
 
@@ -46,6 +51,13 @@ class TrainLoopConfig:
     # the same XLA program and the ICM actually trains)
     use_safety_layer: bool = False
     use_curiosity: bool = False
+    # RND novelty bonus (config/config.yaml random_network_distillation —
+    # spec'd by the reference, implemented here; sibling of use_curiosity)
+    use_rnd: bool = False
+    # physics-informed consistency loss regularizing the ICM forward model
+    # (the reference computed PhysicsInformedLoss and never backpropagated
+    # it, agent/multi_algorithm_agent.py:882-907); requires use_curiosity
+    use_physics_informed: bool = False
     # history conditioning: the policy consumes the last `history_len`
     # observations (flattened [oldest..newest]); 1 = memoryless (default).
     # The transformer policy's sequence mode (SURVEY §5: PosEnc supports
@@ -54,6 +66,12 @@ class TrainLoopConfig:
     history_len: int = 1
     curiosity: icm_mod.CuriosityConfig = dataclasses.field(
         default_factory=icm_mod.CuriosityConfig
+    )
+    rnd: rnd_mod.RNDConfig = dataclasses.field(
+        default_factory=rnd_mod.RNDConfig
+    )
+    physics_informed: PhysicsInformedConfig = dataclasses.field(
+        default_factory=PhysicsInformedConfig
     )
     safety: SafetyConstraints = dataclasses.field(
         default_factory=SafetyConstraints
@@ -70,6 +88,7 @@ class TrainCarry:
     buffer: replay_mod.ReplayBuffer
     key: jnp.ndarray
     icm: Any                        # CuriosityState or None (curiosity off)
+    rnd: Any                        # RNDState or None (RND off)
     obs_window: Any                 # (N, history_len, obs_dim) or None
     # Per-env counters — kept as (N,) arrays (not scalars) so every
     # env-indexed leaf shards uniformly along the data axis under shard_map.
@@ -120,6 +139,11 @@ def init_carry(
         if loop_cfg.use_curiosity
         else None
     )
+    rnd_state = (
+        rnd_mod.init(jax.random.fold_in(k_agent, 11), loop_cfg.rnd)
+        if loop_cfg.use_rnd
+        else None
+    )
     # NOTE: each counter gets its OWN zero array — sharing one buffer across
     # fields breaks donation ("attempt to donate the same buffer twice")
     # when the carry is built eagerly.
@@ -136,6 +160,7 @@ def init_carry(
         buffer=buffer,
         key=k_loop,
         icm=icm_state,
+        rnd=rnd_state,
         obs_window=obs_window,
         env_steps=zeros_i(),
         episodes=zeros_i(),
@@ -176,9 +201,16 @@ def make_train_iteration(
         actions = sac_mod.select_action(
             carry.agent, carry.obs, k_act, sac_cfg, loop_cfg.action_dim
         )
+        # the CURRENT physical frame (with history stacking the newest obs
+        # sits at the END of the [oldest..newest] window)
+        cur_frame = (
+            carry.obs[:, -loop_cfg.obs_dim:]
+            if loop_cfg.history_len > 1
+            else carry.obs
+        )
         if loop_cfg.use_safety_layer:
             # CBF-style projection at act time (ref :784-786)
-            actions, _ = apply_safety(carry.obs, actions, loop_cfg.safety)
+            actions, _ = apply_safety(cur_frame, actions, loop_cfg.safety)
         env_states, out, next_obs = batched_step(
             carry.env_states, actions, env_params
         )
@@ -205,17 +237,40 @@ def make_train_iteration(
         icm_state = carry.icm
         reward = out.reward
         if loop_cfg.use_curiosity:
-            cur_frame = (
-                carry.obs[:, -loop_cfg.obs_dim :]
-                if loop_cfg.history_len > 1
-                else carry.obs
-            )
             intrinsic = icm_mod.intrinsic_reward(
                 icm_state, cur_frame, actions, out.obs, loop_cfg.curiosity
             )
             reward = reward + intrinsic
+            # physics-informed consistency regularizes the forward model
+            # (gradients actually flow, unlike ref :882-907)
+            phys_fn = (
+                make_icm_physics_loss(loop_cfg.physics_informed)
+                if loop_cfg.use_physics_informed
+                else None
+            )
             icm_state, _ = icm_mod.update(
-                icm_state, cur_frame, actions, out.obs, loop_cfg.curiosity
+                icm_state, cur_frame, actions, out.obs, loop_cfg.curiosity,
+                physics_loss_fn=phys_fn, axis_name=axis_name,
+            )
+
+        # --- RND novelty bonus; predictor trains every `update_frequency`
+        # env steps (the reference's spec'd cadence), via lax.cond so the
+        # program stays shape-static
+        rnd_state = carry.rnd
+        if loop_cfg.use_rnd:
+            reward = reward + rnd_mod.intrinsic_reward(
+                rnd_state, out.obs, loop_cfg.rnd
+            )
+            due = (
+                carry.env_steps[0] % loop_cfg.rnd.update_frequency == 0
+            )
+            rnd_state = jax.lax.cond(
+                due,
+                lambda s: rnd_mod.update(
+                    s, out.obs, loop_cfg.rnd, axis_name=axis_name
+                )[0],
+                lambda s: s,
+                rnd_state,
             )
 
         # --- replay write (terminated-only done: truncation bootstraps)
@@ -286,6 +341,7 @@ def make_train_iteration(
             buffer=buffer,
             key=k_next,
             icm=icm_state,
+            rnd=rnd_state,
             obs_window=obs_window,
             env_steps=carry.env_steps + 1,
             episodes=episodes,

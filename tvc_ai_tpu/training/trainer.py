@@ -140,7 +140,11 @@ class Trainer:
             self.logger.info("single device: %s", self.devices[0])
 
         self._eval_fn = jax.jit(
-            make_eval_fn(self.sac_cfg, cfg.training.eval_episodes)
+            make_eval_fn(
+                self.sac_cfg,
+                cfg.training.eval_episodes,
+                history_len=self.loop_cfg.history_len,
+            )
         )
 
         # ---- state
