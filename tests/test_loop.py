@@ -93,3 +93,94 @@ def test_history_conditioned_loop():
 
     flat = traverse_util.flatten_dict(carry.agent.actor_params["params"])
     assert flat[("hidden_0", "kernel")].shape[0] == 30
+
+
+@pytest.mark.integration
+def test_episode_ring_collects_per_episode_stats():
+    """The on-device finished-episode ring feeds the hacking detector real
+    per-episode samples (ref scripts/train.py:101-171 window semantics)."""
+    env_params = EnvParams(max_episode_steps=5)
+    sac_cfg = SACConfig(
+        hidden_dims=(16, 16), batch_size=8, buffer_size=512, learning_starts=1024
+    )
+    loop_cfg = loop_mod.TrainLoopConfig(
+        num_envs=4, rollout_steps=11, episode_ring_size=32
+    )
+    carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+    carry, _ = it(carry, env_params)
+
+    episodes, last_seq = loop_mod.drain_episodes(carry, -1)
+    # 11 steps of 5-step episodes over 4 envs → 2 completions per env = 8
+    assert len(episodes) == 8
+    assert all(length == 5 for _, length, _ in episodes)
+    assert all(np.isfinite(ret) for ret, _, _ in episodes)
+    # per-episode returns are NOT one aggregate: they differ across envs
+    rets = [ret for ret, _, _ in episodes]
+    assert len(set(np.round(rets, 6))) > 1
+    assert last_seq == 9  # last completion at env-step counter 9 (0-based)
+
+    # drain is incremental: nothing new until more episodes finish
+    again, seq2 = loop_mod.drain_episodes(carry, last_seq)
+    assert again == [] and seq2 == last_seq
+    carry, _ = it(carry, env_params)
+    more, seq3 = loop_mod.drain_episodes(carry, last_seq)
+    assert len(more) == 8 and seq3 > last_seq
+
+    # detector consumes the drained stream directly
+    from tvc_ai_tpu.training.hacking import RewardHackingDetector
+
+    det = RewardHackingDetector(window_size=16)
+    for ret, length, success in episodes + more:
+        det.add_episode(reward=ret, success=success, length=length)
+    report = det.detect_hacking()
+    assert 0.0 <= report.score <= 1.0
+
+
+@pytest.mark.integration
+def test_survival_normalized_success_bonus():
+    """The opt-in incentive fix pays (recent per-step reward) x (remaining
+    steps) on the FIRST success step, making success dominate edge-hovering."""
+    import dataclasses as dc
+
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.env.types import RewardConfig, SuccessConfig
+
+    # success window trivially satisfiable from the nominal reset pose
+    easy_success = SuccessConfig(
+        max_tilt_angle=jnp.float32(1.0),
+        max_angular_velocity=jnp.float32(10.0),
+        max_horizontal_velocity=jnp.float32(10.0),
+        max_vertical_velocity=jnp.float32(10.0),
+        min_altitude=jnp.float32(0.0),
+        max_altitude=jnp.float32(10.0),
+        success_duration=1,
+    )
+    params_off = EnvParams(success=easy_success, max_episode_steps=1000)
+    params_on = dc.replace(
+        params_off, reward=RewardConfig(survival_normalized_success=True)
+    )
+    state_off, _ = rocket_env.reset(jax.random.PRNGKey(0), params_off)
+    # seed the rolling reward window with a known per-step level
+    state_off = state_off.replace(
+        reward_window=jnp.full(10, 50.0, jnp.float32),
+        reward_window_len=jnp.int32(10),
+    )
+    action = jnp.zeros(2, jnp.float32)
+    new_state_off, out_off = rocket_env.step(state_off, action, params_off)
+    _, out_on = rocket_env.step(state_off, action, params_on)
+    assert bool(out_on.mission_success) and bool(out_on.terminated)
+    bonus = float(out_on.reward) - float(out_off.reward)
+    # payout = mean of the updated rolling window x remaining 999 steps
+    # (the window tracks the base step reward — read it from the off run,
+    # whose window update is identical)
+    window_mean = float(jnp.sum(new_state_off.reward_window)) / 10.0
+    assert window_mean > 0.0
+    assert bonus == pytest.approx(max(window_mean, 0.0) * 999.0, rel=1e-4)
+    # paid exactly once: an already-successful state gets no further bonus
+    state_succ = state_off.replace(mission_success=jnp.bool_(True))
+    _, out_again = rocket_env.step(state_succ, action, params_on)
+    _, out_again_off = rocket_env.step(state_succ, action, params_off)
+    assert float(out_again.reward) == pytest.approx(
+        float(out_again_off.reward), rel=1e-6
+    )

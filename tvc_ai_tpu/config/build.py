@@ -81,6 +81,7 @@ def build_env_params(
         clip_min=jnp.float32(r.clip_min),
         clip_max=jnp.float32(r.clip_max),
         target_altitude=jnp.float32(r.target_altitude),
+        survival_normalized_success=r.survival_normalized_success,
     )
     sc = cfg.safety.constraints
     termination = TerminationConfig(

@@ -251,6 +251,9 @@ class RewardSection:
     clip_min: float = -1000.0
     clip_max: float = 200.0
     target_altitude: float = 3.0
+    # opt-in fix for the inherited success-disincentive flaw (see
+    # env/types.py RewardConfig.survival_normalized_success); off = parity
+    survival_normalized_success: bool = False
 
 
 @dataclass

@@ -188,6 +188,27 @@ def step(
         )
     )
 
+    # 6b. survival-normalized success payout (opt-in incentive fix — see
+    # RewardConfig.survival_normalized_success). Paid once, on the step that
+    # first achieves mission success; NOT subject to the per-step clip (it
+    # stands in for the clipped per-step rewards of the forgone steps).
+    if params.reward.survival_normalized_success:
+        first_success = (completed | window_success) & ~state.mission_success
+        # reward_window_len counts total rewards seen (it can exceed the
+        # fixed window size); the window itself holds at most variance_window
+        window_fill = jnp.clip(
+            reward_window_len.astype(jnp.float32),
+            1.0,
+            float(params.reward.variance_window),
+        )
+        window_mean = jnp.sum(reward_window) / window_fill
+        remaining = jnp.maximum(
+            params.max_episode_steps - step_count, 0
+        ).astype(jnp.float32)
+        total_reward = total_reward + jnp.where(
+            first_success, jnp.maximum(window_mean, 0.0) * remaining, 0.0
+        )
+
     # 7. termination with POST-update success flag (ref :697-721)
     horiz_dist = jnp.linalg.norm(body.pos[:2])
     terminated = (

@@ -114,6 +114,19 @@ class RewardConfig:
     clip_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(200.0))
     target_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0))
     variance_window: int = struct.field(pytree_node=False, default=10)
+    # Survival-normalized success payout (static: toggling recompiles).
+    # The inherited reward design DISINCENTIVIZES success: succeeding
+    # terminates the episode (~283 steps, ~15k return) while hovering just
+    # outside the window for all 1000 steps collects ~35-50k, so a converged
+    # reward-maximizer learns to avoid the success window (RESULTS.md round 1;
+    # the reference's own reward-hacking incident, GUIDE/STATE_OF_THE_ART_
+    # INTEGRATION.md:5,130-134, is this same flaw). When enabled, the first
+    # success step additionally pays the agent's own recent per-step reward
+    # (rolling-window mean, floored at 0) × remaining episode steps — success
+    # then weakly dominates edge-hovering. Default OFF = reference parity.
+    survival_normalized_success: bool = struct.field(
+        pytree_node=False, default=False
+    )
 
 
 @struct.dataclass

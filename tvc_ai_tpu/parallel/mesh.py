@@ -60,6 +60,13 @@ def carry_specs(carry_like: loop_mod.TrainCarry) -> loop_mod.TrainCarry:
         ep_length=P(DATA_AXIS),
         return_sum=P(DATA_AXIS),
         length_sum=P(DATA_AXIS),
+        # per-shard episode rings (each shard records its own envs' episodes;
+        # the host drain concatenates across shards)
+        ep_ring_return=P(DATA_AXIS),
+        ep_ring_length=P(DATA_AXIS),
+        ep_ring_success=P(DATA_AXIS),
+        ep_ring_seq=P(DATA_AXIS),
+        ep_ring_ptr=P(DATA_AXIS),
     )
 
 

@@ -64,6 +64,11 @@ class TrainLoopConfig:
     # 5000, forward(obs, sequence_length) hints an unused history mode)
     # becomes trainable through this.
     history_len: int = 1
+    # capacity of the on-device finished-episode ring (most recent episodes'
+    # (return, length, success) for the host-side reward-hacking detector,
+    # restoring the reference's per-episode 100-window semantics
+    # (scripts/train.py:101-171) instead of iteration aggregates)
+    episode_ring_size: int = 256
     curiosity: icm_mod.CuriosityConfig = dataclasses.field(
         default_factory=icm_mod.CuriosityConfig
     )
@@ -99,6 +104,14 @@ class TrainCarry:
     ep_length: jnp.ndarray          # (N,) running per-env episode length
     return_sum: jnp.ndarray         # (N,) sum of finished-episode returns
     length_sum: jnp.ndarray         # (N,) sum of finished-episode lengths
+    # ring of the most recent finished episodes (K = episode_ring_size);
+    # seq = env-step counter at completion (-1 = empty slot) lets the host
+    # drain only new entries in completion order
+    ep_ring_return: jnp.ndarray     # (K,) f32
+    ep_ring_length: jnp.ndarray     # (K,) f32
+    ep_ring_success: jnp.ndarray    # (K,) f32
+    ep_ring_seq: jnp.ndarray        # (K,) i32
+    ep_ring_ptr: jnp.ndarray        # (1,) i32 next write slot (sharded shape)
 
 
 def policy_obs_dim(loop_cfg: TrainLoopConfig) -> int:
@@ -169,6 +182,11 @@ def init_carry(
         ep_length=zeros_i(),
         return_sum=zeros_f(),
         length_sum=zeros_f(),
+        ep_ring_return=jnp.zeros(loop_cfg.episode_ring_size, jnp.float32),
+        ep_ring_length=jnp.zeros(loop_cfg.episode_ring_size, jnp.float32),
+        ep_ring_success=jnp.zeros(loop_cfg.episode_ring_size, jnp.float32),
+        ep_ring_seq=jnp.full(loop_cfg.episode_ring_size, -1, jnp.int32),
+        ep_ring_ptr=jnp.zeros(1, jnp.int32),
     )
 
 
@@ -331,6 +349,28 @@ def make_train_iteration(
         length_sum = carry.length_sum + jnp.where(
             done, ep_length.astype(jnp.float32), 0.0
         )
+        # finished-episode ring writes: each done env scatters its episode
+        # stats into consecutive ring slots (not-done envs target an
+        # out-of-bounds slot and are dropped — branch-free under vmap/scan)
+        K = loop_cfg.episode_ring_size
+        finished_before = jnp.cumsum(done.astype(jnp.int32)) - 1
+        slot = (carry.ep_ring_ptr[0] + finished_before) % K
+        slot = jnp.where(done, slot, K)  # K = out of bounds → mode="drop"
+        seq_now = carry.env_steps[0]  # monotonic across iterations
+        ep_ring_return = carry.ep_ring_return.at[slot].set(
+            ep_return, mode="drop"
+        )
+        ep_ring_length = carry.ep_ring_length.at[slot].set(
+            ep_length.astype(jnp.float32), mode="drop"
+        )
+        ep_ring_success = carry.ep_ring_success.at[slot].set(
+            (done & out.mission_success).astype(jnp.float32), mode="drop"
+        )
+        ep_ring_seq = carry.ep_ring_seq.at[slot].set(seq_now, mode="drop")
+        ep_ring_ptr = (
+            carry.ep_ring_ptr + jnp.sum(done.astype(jnp.int32))
+        ) % K
+
         ep_return = jnp.where(done, 0.0, ep_return)
         ep_length = jnp.where(done, 0, ep_length)
 
@@ -350,6 +390,11 @@ def make_train_iteration(
             ep_length=ep_length,
             return_sum=return_sum,
             length_sum=length_sum,
+            ep_ring_return=ep_ring_return,
+            ep_ring_length=ep_ring_length,
+            ep_ring_success=ep_ring_success,
+            ep_ring_seq=ep_ring_seq,
+            ep_ring_ptr=ep_ring_ptr,
         )
         reward_mean = jnp.mean(out.reward)
         done_frac = jnp.mean(done.astype(jnp.float32))
@@ -371,6 +416,39 @@ def make_train_iteration(
         return carry, jax.tree.map(jnp.mean, metrics)
 
     return train_iteration
+
+
+def drain_episodes(
+    carry: TrainCarry, last_seq: int
+) -> tuple[list[tuple[float, int, bool]], int]:
+    """Pull finished episodes newer than ``last_seq`` from the on-device ring.
+
+    Returns ``(episodes, new_last_seq)`` with episodes as
+    ``(return, length, success)`` in completion order — the per-episode feed
+    the reward-hacking detector's window statistics need
+    (ref scripts/train.py:101-171 windows 100 *episodes*, not iteration
+    means). Works on sharded carries: ring leaves are concatenated across
+    shards by the device→host gather.
+
+    Ring overflow (more episodes finished since the last drain than the ring
+    holds) silently keeps only the most recent ``episode_ring_size`` per
+    shard — acceptable for a rolling-window detector.
+    """
+    import numpy as np
+
+    rets = np.asarray(jax.device_get(carry.ep_ring_return)).ravel()
+    lens = np.asarray(jax.device_get(carry.ep_ring_length)).ravel()
+    succ = np.asarray(jax.device_get(carry.ep_ring_success)).ravel()
+    seq = np.asarray(jax.device_get(carry.ep_ring_seq)).ravel()
+    new = seq > last_seq
+    if not new.any():
+        return [], last_seq
+    order = np.argsort(seq[new], kind="stable")
+    episodes = [
+        (float(r), int(l), bool(s > 0.5))
+        for r, l, s in zip(rets[new][order], lens[new][order], succ[new][order])
+    ]
+    return episodes, int(seq.max())
 
 
 def summarize(carry: TrainCarry) -> dict[str, float]:

@@ -163,6 +163,7 @@ class Trainer:
         self.iteration = 0
         self._last_episodes = 0
         self._last_successes = 0
+        self._last_ep_seq = -1
         if resume is not None:
             self._resume(resume)
 
@@ -179,6 +180,7 @@ class Trainer:
             "stability": self.stability.state_dict(),
             "last_episodes": self._last_episodes,
             "last_successes": self._last_successes,
+            "last_ep_seq": self._last_ep_seq,
         }
 
     def _resume(self, resume_dir) -> None:
@@ -248,6 +250,7 @@ class Trainer:
         self.stability.load_state_dict(host.get("stability", {}))
         self._last_episodes = int(host.get("last_episodes", 0))
         self._last_successes = int(host.get("last_successes", 0))
+        self._last_ep_seq = int(host.get("last_ep_seq", -1))
         mngr.close()
         self.logger.info(
             "resumed from %s at iteration %d (%s env steps)",
@@ -370,10 +373,16 @@ class Trainer:
                         self.curriculum.stage_idx,
                         stage.name if stage else "graduated",
                     )
+            # drain the on-device episode ring: the detector gets real
+            # per-episode (return, length, success) samples in completion
+            # order — the 100-episode-window semantics of the reference
+            # (scripts/train.py:101-171), not iteration aggregates
+            episodes, self._last_ep_seq = loop_mod.drain_episodes(
+                self.carry, self._last_ep_seq
+            )
+            for ret, length, success in episodes:
                 self.hacking.add_episode(
-                    reward=summary["mean_episode_return"],
-                    success=rate > 0.5,
-                    length=int(summary["mean_episode_length"]),
+                    reward=ret, success=success, length=length
                 )
 
             report = self.hacking.detect_hacking()
