@@ -268,3 +268,16 @@ def test_enhanced_env_curiosity_flag_honored():
     assert "intrinsic_reward" not in info_off
     assert r_on == pytest.approx(r_off + info_on["intrinsic_reward"], rel=1e-5)
     assert info_on["intrinsic_reward"] > 0.0
+
+
+@pytest.mark.integration
+def test_hierarchical_flag_from_config():
+    """hierarchical_rl.enabled reaches the fused loop: goal-conditioned low
+    level + trainable high level."""
+    cfg = _cfg(hierarchical_rl={"enabled": True, "num_goals": 4})
+    lc = build_loop_config(cfg)
+    assert lc.use_hierarchical and lc.hierarchical.num_goals == 4
+    carry, metrics = _run_one_iteration(cfg)
+    assert carry.hier is not None and carry.goal is not None
+    assert "high_level_loss" in metrics
+    assert carry.buffer.data["obs"].shape[-1] == 14  # 10-D obs + 4 goals

@@ -184,3 +184,50 @@ def test_survival_normalized_success_bonus():
     assert float(out_again.reward) == pytest.approx(
         float(out_again_off.reward), rel=1e-6
     )
+
+
+@pytest.mark.integration
+def test_hierarchical_training_mode():
+    """use_hierarchical: SAC low level on [obs || goal-onehot]; high level
+    takes REINFORCE steps from finished-episode returns (the training path
+    the reference's HierarchicalAgent never had, ref :353-417)."""
+    env_params = EnvParams(max_episode_steps=6)
+    sac_cfg = SACConfig(
+        hidden_dims=(16, 16), batch_size=8, buffer_size=512, learning_starts=16
+    )
+    loop_cfg = loop_mod.TrainLoopConfig(
+        num_envs=4, rollout_steps=14, use_hierarchical=True
+    )
+    carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
+    assert carry.hier is not None
+    assert carry.goal.shape == (4,)
+    # low level sized for obs + 4-goal onehot
+    assert loop_mod.policy_obs_dim(loop_cfg) == 14
+    assert carry.buffer.data["obs"].shape[-1] == 14
+
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+    h0 = jax.tree.leaves(carry.hier.params)[0].copy()
+    carry, metrics = it(carry, env_params)
+    assert np.isfinite(float(metrics["reward_mean"]))
+    assert "high_level_loss" in metrics
+    # episodes finished (6-step cap, 14 steps rolled) -> high level stepped
+    assert int(carry.hier.step) == 1
+    h1 = jax.tree.leaves(carry.hier.params)[0]
+    assert not np.allclose(h0, h1)
+    # goals live in [0, num_goals)
+    g = np.asarray(carry.goal)
+    assert ((g >= 0) & (g < 4)).all()
+    # goal ring recorded finished episodes
+    assert (np.asarray(carry.ep_ring_seq) >= 0).sum() == 8
+
+    # hierarchical evaluation runs end-to-end
+    from tvc_ai_tpu.eval.rollout import make_hier_eval_fn, summarize_stats
+
+    eval_fn = jax.jit(
+        make_hier_eval_fn(sac_cfg, loop_cfg.hierarchical, 4)
+    )
+    stats = eval_fn(
+        (carry.agent, carry.hier), jax.random.PRNGKey(1), env_params
+    )
+    out = summarize_stats(stats)
+    assert np.isfinite(out["eval_reward_mean"])

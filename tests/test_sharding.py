@@ -94,3 +94,49 @@ def test_sharded_train_with_extension_stack():
     ]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.integration
+def test_sharded_ensemble_members_replicate():
+    """BASELINE config #4 at scale: ensemble training over the mesh keeps
+    all three members' params bit-identical across shards after updating
+    from sharded replay + sharded PPO segments."""
+    from tvc_ai_tpu.agents import ensemble as ens
+    from tvc_ai_tpu.agents.td3 import TD3Config
+    from tvc_ai_tpu.agents.ppo import PPOConfig
+
+    mesh = mesh_mod.make_mesh()
+    env_params = EnvParams()
+    ens_cfg = ens.EnsembleConfig(
+        sac=SACConfig(
+            hidden_dims=(16, 16), batch_size=16, buffer_size=4096,
+            learning_starts=32,
+        ),
+        td3=TD3Config(hidden_dims=(16, 16), batch_size=16),
+        ppo=PPOConfig(hidden_dims=(16, 16), n_epochs=2, num_minibatches=2),
+    )
+    init_fn, train_fns = mesh_mod.make_sharded_ensemble_train(
+        mesh, env_params, ens_cfg, num_envs=16, rollout_steps=8,
+        updates_per_step=1,
+    )
+    carry = init_fn(jax.random.PRNGKey(0))
+    weights = jax.numpy.ones(3, jax.numpy.float32) / 3
+
+    # one iteration per acting algorithm, incl. the blended actor
+    for actor in ("sac", "ppo", "ensemble"):
+        carry, metrics = train_fns[actor](carry, weights, env_params)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (actor, k)
+
+    for member in (carry.sac.actor_params, carry.td3.actor_params,
+                   carry.ppo.actor_params, carry.sac.critic_params):
+        leaf = jax.tree.leaves(member)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    # env streams decorrelated across shards
+    alt = np.asarray(jax.device_get(carry.env_states.body.pos))[:, 2]
+    assert np.std(alt) > 0.0
+    summary_steps = int(np.sum(np.asarray(jax.device_get(carry.env_steps))))
+    assert summary_steps == 16 * 8 * 3

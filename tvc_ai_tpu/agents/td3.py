@@ -170,7 +170,12 @@ def update(
             state.target_critic_params,
             critic_params,
         )
-        return actor_params, actor_opt, target_actor, target_critic, actor_loss
+        # device-mean the reported loss so both cond branches produce
+        # replication-invariant types under shard_map
+        return (
+            actor_params, actor_opt, target_actor, target_critic,
+            maybe_pmean(actor_loss),
+        )
 
     def skip_policy_update(_):
         return (

@@ -142,10 +142,14 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
     """
     from tvc_ai_tpu.agents.physics_informed import PhysicsInformedConfig
     from tvc_ai_tpu.models.curiosity import CuriosityConfig as ICMConfig
+    from tvc_ai_tpu.models.hierarchical import (
+        HierarchicalConfig as HierConfig,
+    )
     from tvc_ai_tpu.models.rnd import RNDConfig
     from tvc_ai_tpu.models.safety import SafetyConstraints
 
     t = cfg.training
+    h = cfg.hierarchical_rl
     icm = cfg.exploration.curiosity
     rnd = cfg.exploration.random_network_distillation
     sc = cfg.safety.constraints
@@ -180,5 +184,11 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
         use_physics_informed=pi.enabled,
         physics_informed=PhysicsInformedConfig(
             physics_weight=pi.physics_loss_weight,
+        ),
+        use_hierarchical=h.enabled,
+        hierarchical=HierConfig(
+            num_goals=h.num_goals,
+            high_level_lr=h.high_level_lr,
+            low_level_lr=h.low_level_lr,
         ),
     )

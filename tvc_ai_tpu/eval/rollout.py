@@ -156,6 +156,38 @@ def make_eval_fn(
     return make_policy_eval_fn(policy_fn, num_episodes, history_len=history_len)
 
 
+def make_hier_eval_fn(
+    sac_cfg: sac_mod.SACConfig,
+    hier_cfg,
+    num_episodes: int,
+    action_dim: int = 2,
+    history_len: int = 1,
+):
+    """Hierarchical-mode evaluation: per-step deterministic (argmax) goal
+    selection — the reference's per-call ``select_goal``
+    (agent/multi_algorithm_agent.py:751-753) made deterministic — feeding the
+    goal-conditioned SAC low level. ``agent`` is ``(sac_state, high_state)``.
+    """
+    import jax.nn
+
+    from tvc_ai_tpu.env.types import OBS_DIM
+    from tvc_ai_tpu.models import hierarchical as hier_mod
+
+    def policy_fn(agent, obs, key):
+        sac_state, high_state = agent
+        frame = obs[..., -OBS_DIM:] if history_len > 1 else obs
+        goal = hier_mod.sample_goal(
+            high_state, frame, key, hier_cfg, deterministic=True
+        )
+        onehot = jax.nn.one_hot(goal, hier_cfg.num_goals, dtype=obs.dtype)
+        policy_view = jnp.concatenate([obs, onehot], axis=-1)
+        return sac_mod.select_action(
+            sac_state, policy_view, key, sac_cfg, action_dim, deterministic=True
+        )
+
+    return make_policy_eval_fn(policy_fn, num_episodes, history_len=history_len)
+
+
 def summarize_stats(stats: EpisodeStats) -> dict[str, float]:
     """Host-side aggregation with the reference's percentile set
     (scripts/evaluate.py:75-116: p25/p50/p75/p90/p95)."""

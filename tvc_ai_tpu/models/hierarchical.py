@@ -142,3 +142,103 @@ def update_high_level(
         ),
         {"high_level_loss": loss, "baseline": baseline},
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused-loop high level: goal policy trained by masked REINFORCE on finished-
+# episode returns while the goal-conditioned LOW level is the SAC actor on
+# [obs ‖ goal-onehot] (training.loop use_hierarchical). This is the
+# production path the reference never had — its HierarchicalAgent defined
+# optimizers (:388-390) but no training step ever ran.
+
+
+@struct.dataclass
+class HighLevelState:
+    params: Any
+    opt_state: Any
+    baseline: jnp.ndarray
+    step: jnp.ndarray
+
+
+def init_high(
+    key: jnp.ndarray, obs_dim: int, cfg: HierarchicalConfig
+) -> HighLevelState:
+    high = HighLevelPolicy(num_goals=cfg.num_goals)
+    params = high.init(key, jnp.zeros((1, obs_dim), jnp.float32))
+    return HighLevelState(
+        params=params,
+        opt_state=optax.adam(cfg.high_level_lr).init(params),
+        baseline=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+def sample_goal(
+    state: HighLevelState,
+    obs: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: HierarchicalConfig,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Goal index per row — softmax-multinomial like the ref (:397-403),
+    argmax when deterministic (evaluation)."""
+    high = HighLevelPolicy(num_goals=cfg.num_goals)
+    logits = high.apply(state.params, obs)
+    if deterministic:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def update_high_masked(
+    state: HighLevelState,
+    obs: jnp.ndarray,        # (B, obs_dim) obs at goal selection
+    goal_idx: jnp.ndarray,   # (B,)
+    returns: jnp.ndarray,    # (B,)
+    mask: jnp.ndarray,       # (B,) 1.0 = valid episode sample
+    cfg: HierarchicalConfig,
+    axis_name: str | None = None,
+) -> tuple[HighLevelState, dict[str, jnp.ndarray]]:
+    """Masked REINFORCE step over a ring of finished episodes (invalid slots
+    contribute zero); grads/stats pmean'd across data-parallel shards."""
+    high = HighLevelPolicy(num_goals=cfg.num_goals)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    advantage = (returns - state.baseline) * mask
+
+    def loss_fn(params):
+        logits = high.apply(params, obs)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(logp, goal_idx[..., None], axis=-1)[..., 0]
+        return -jnp.sum(chosen * jax.lax.stop_gradient(advantage)) / denom
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    mean_return = jnp.sum(returns * mask) / denom
+    has_any = (jnp.sum(mask) > 0).astype(jnp.float32)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        mean_return = jax.lax.pmean(mean_return, axis_name)
+        has_any = jax.lax.pmean(has_any, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+    updates, opt_state = optax.adam(cfg.high_level_lr).update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    # freeze everything when no shard saw a finished episode this iteration
+    skip = has_any == 0.0
+    params = jax.tree.map(
+        lambda new, old: jnp.where(skip, old, new), params, state.params
+    )
+    opt_state = jax.tree.map(
+        lambda new, old: jnp.where(skip, old, new), opt_state, state.opt_state
+    )
+    baseline = jnp.where(
+        skip, state.baseline, 0.9 * state.baseline + 0.1 * mean_return
+    )
+    return (
+        state.replace(
+            params=params,
+            opt_state=opt_state,
+            baseline=baseline,
+            step=state.step + (has_any > 0).astype(jnp.int32),
+        ),
+        {"high_level_loss": loss, "high_level_baseline": baseline},
+    )

@@ -32,6 +32,7 @@ from tvc_ai_tpu.agents.physics_informed import (
 from tvc_ai_tpu.env import rocket_env
 from tvc_ai_tpu.env.types import ACTION_DIM, OBS_DIM, EnvParams, EnvState
 from tvc_ai_tpu.models import curiosity as icm_mod
+from tvc_ai_tpu.models import hierarchical as hier_mod
 from tvc_ai_tpu.models import rnd as rnd_mod
 from tvc_ai_tpu.models.safety import SafetyConstraints, apply_safety
 
@@ -58,6 +59,14 @@ class TrainLoopConfig:
     # (the reference computed PhysicsInformedLoss and never backpropagated
     # it, agent/multi_algorithm_agent.py:882-907); requires use_curiosity
     use_physics_informed: bool = False
+    # hierarchical RL as a TRAINING mode (ref HierarchicalAgent
+    # :353-417 selected goals at act time but trained nothing): the SAC low
+    # level consumes [obs ‖ goal-onehot]; goals are sampled per EPISODE by a
+    # high-level policy trained by REINFORCE on finished-episode returns at
+    # iteration boundaries (per-episode goals give clean credit assignment —
+    # a documented deviation from the ref's per-call resampling, which with
+    # its never-trained high level was uniform noise)
+    use_hierarchical: bool = False
     # history conditioning: the policy consumes the last `history_len`
     # observations (flattened [oldest..newest]); 1 = memoryless (default).
     # The transformer policy's sequence mode (SURVEY §5: PosEnc supports
@@ -78,6 +87,9 @@ class TrainLoopConfig:
     physics_informed: PhysicsInformedConfig = dataclasses.field(
         default_factory=PhysicsInformedConfig
     )
+    hierarchical: hier_mod.HierarchicalConfig = dataclasses.field(
+        default_factory=hier_mod.HierarchicalConfig
+    )
     safety: SafetyConstraints = dataclasses.field(
         default_factory=SafetyConstraints
     )
@@ -94,6 +106,9 @@ class TrainCarry:
     key: jnp.ndarray
     icm: Any                        # CuriosityState or None (curiosity off)
     rnd: Any                        # RNDState or None (RND off)
+    hier: Any                       # HighLevelState or None (hierarchical off)
+    goal: Any                       # (N,) i32 per-episode goal or None
+    goal_obs: Any                   # (N, obs_dim) obs at goal selection or None
     obs_window: Any                 # (N, history_len, obs_dim) or None
     # Per-env counters — kept as (N,) arrays (not scalars) so every
     # env-indexed leaf shards uniformly along the data axis under shard_map.
@@ -112,11 +127,28 @@ class TrainCarry:
     ep_ring_success: jnp.ndarray    # (K,) f32
     ep_ring_seq: jnp.ndarray        # (K,) i32
     ep_ring_ptr: jnp.ndarray        # (1,) i32 next write slot (sharded shape)
+    # hierarchical-mode extensions of the episode ring (None when off)
+    ep_ring_goal: Any               # (K,) i32 episode goal
+    ep_ring_goal_obs: Any           # (K, obs_dim) obs at goal selection
 
 
 def policy_obs_dim(loop_cfg: TrainLoopConfig) -> int:
-    """Dimensionality the agent actually sees (env obs × history)."""
-    return loop_cfg.obs_dim * loop_cfg.history_len
+    """Dimensionality the agent actually sees (env obs × history
+    [‖ goal-onehot under hierarchical mode])."""
+    dim = loop_cfg.obs_dim * loop_cfg.history_len
+    if loop_cfg.use_hierarchical:
+        dim += loop_cfg.hierarchical.num_goals
+    return dim
+
+
+def _augment_with_goal(
+    obs: jnp.ndarray, goal: jnp.ndarray, loop_cfg: TrainLoopConfig
+) -> jnp.ndarray:
+    """[obs ‖ goal-onehot] — the low-level conditioning (ref :405-417)."""
+    onehot = jax.nn.one_hot(
+        goal, loop_cfg.hierarchical.num_goals, dtype=obs.dtype
+    )
+    return jnp.concatenate([obs, onehot], axis=-1)
 
 
 def init_carry(
@@ -157,6 +189,23 @@ def init_carry(
         if loop_cfg.use_rnd
         else None
     )
+    hier_state = goal = goal_obs = None
+    ep_ring_goal = ep_ring_goal_obs = None
+    if loop_cfg.use_hierarchical:
+        k_hier, k_goal = jax.random.split(jax.random.fold_in(k_agent, 13))
+        hier_state = hier_mod.init_high(
+            k_hier, loop_cfg.obs_dim, loop_cfg.hierarchical
+        )
+        goal_obs = (
+            obs_window[:, -1, :] if loop_cfg.history_len > 1 else obs
+        )
+        goal = hier_mod.sample_goal(
+            hier_state, goal_obs, k_goal, loop_cfg.hierarchical
+        )
+        ep_ring_goal = jnp.zeros(loop_cfg.episode_ring_size, jnp.int32)
+        ep_ring_goal_obs = jnp.zeros(
+            (loop_cfg.episode_ring_size, loop_cfg.obs_dim), jnp.float32
+        )
     # NOTE: each counter gets its OWN zero array — sharing one buffer across
     # fields breaks donation ("attempt to donate the same buffer twice")
     # when the carry is built eagerly.
@@ -174,6 +223,9 @@ def init_carry(
         key=k_loop,
         icm=icm_state,
         rnd=rnd_state,
+        hier=hier_state,
+        goal=goal,
+        goal_obs=goal_obs,
         obs_window=obs_window,
         env_steps=zeros_i(),
         episodes=zeros_i(),
@@ -187,6 +239,8 @@ def init_carry(
         ep_ring_success=jnp.zeros(loop_cfg.episode_ring_size, jnp.float32),
         ep_ring_seq=jnp.full(loop_cfg.episode_ring_size, -1, jnp.int32),
         ep_ring_ptr=jnp.zeros(1, jnp.int32),
+        ep_ring_goal=ep_ring_goal,
+        ep_ring_goal_obs=ep_ring_goal_obs,
     )
 
 
@@ -216,8 +270,13 @@ def make_train_iteration(
             (k_next,) = jax.random.split(carry.key, 1)
 
         # --- act & simulate (N envs, one fused step)
+        policy_input = (
+            _augment_with_goal(carry.obs, carry.goal, loop_cfg)
+            if loop_cfg.use_hierarchical
+            else carry.obs
+        )
         actions = sac_mod.select_action(
-            carry.agent, carry.obs, k_act, sac_cfg, loop_cfg.action_dim
+            carry.agent, policy_input, k_act, sac_cfg, loop_cfg.action_dim
         )
         # the CURRENT physical frame (with history stacking the newest obs
         # sits at the END of the [oldest..newest] window)
@@ -291,12 +350,20 @@ def make_train_iteration(
                 rnd_state,
             )
 
-        # --- replay write (terminated-only done: truncation bootstraps)
+        # --- replay write (terminated-only done: truncation bootstraps);
+        # hierarchical mode stores the goal-augmented views (same episode →
+        # same goal on both sides of the transition)
+        stored_obs, stored_next = carry.obs, stacked_next_true
+        if loop_cfg.use_hierarchical:
+            stored_obs = policy_input
+            stored_next = _augment_with_goal(
+                stacked_next_true, carry.goal, loop_cfg
+            )
         transitions = {
-            "obs": carry.obs,
+            "obs": stored_obs,
             "action": actions,
             "reward": reward,
-            "next_obs": stacked_next_true,
+            "next_obs": stored_next,
             "done": out.terminated.astype(jnp.float32),
         }
         buffer = replay_mod.add_batch(carry.buffer, transitions)
@@ -371,6 +438,28 @@ def make_train_iteration(
             carry.ep_ring_ptr + jnp.sum(done.astype(jnp.int32))
         ) % K
 
+        # hierarchical: log (goal, obs-at-selection) with the episode stats;
+        # finished envs sample a fresh goal for the new episode
+        hier_state = carry.hier
+        goal, goal_obs = carry.goal, carry.goal_obs
+        ep_ring_goal, ep_ring_goal_obs = carry.ep_ring_goal, carry.ep_ring_goal_obs
+        if loop_cfg.use_hierarchical:
+            ep_ring_goal = ep_ring_goal.at[slot].set(goal, mode="drop")
+            ep_ring_goal_obs = ep_ring_goal_obs.at[slot].set(
+                goal_obs, mode="drop"
+            )
+            fresh_frame = (
+                obs_window[:, -1, :]
+                if loop_cfg.history_len > 1
+                else stacked_next_policy
+            )
+            k_goal = jax.random.fold_in(k_act, 17)
+            fresh_goal = hier_mod.sample_goal(
+                hier_state, fresh_frame, k_goal, loop_cfg.hierarchical
+            )
+            goal = jnp.where(done, fresh_goal, goal)
+            goal_obs = jnp.where(done[:, None], fresh_frame, goal_obs)
+
         ep_return = jnp.where(done, 0.0, ep_return)
         ep_length = jnp.where(done, 0, ep_length)
 
@@ -382,6 +471,9 @@ def make_train_iteration(
             key=k_next,
             icm=icm_state,
             rnd=rnd_state,
+            hier=hier_state,
+            goal=goal,
+            goal_obs=goal_obs,
             obs_window=obs_window,
             env_steps=carry.env_steps + 1,
             episodes=episodes,
@@ -395,6 +487,8 @@ def make_train_iteration(
             ep_ring_success=ep_ring_success,
             ep_ring_seq=ep_ring_seq,
             ep_ring_ptr=ep_ring_ptr,
+            ep_ring_goal=ep_ring_goal,
+            ep_ring_goal_obs=ep_ring_goal_obs,
         )
         reward_mean = jnp.mean(out.reward)
         done_frac = jnp.mean(done.astype(jnp.float32))
@@ -407,13 +501,30 @@ def make_train_iteration(
         return new_carry, step_metrics
 
     def train_iteration(carry: TrainCarry, env_params: EnvParams):
+        iter_start = carry.env_steps[0]
         carry, metrics = jax.lax.scan(
             lambda c, x: env_and_learn_step(c, x, env_params),
             carry,
             None,
             length=loop_cfg.rollout_steps,
         )
-        return carry, jax.tree.map(jnp.mean, metrics)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        if loop_cfg.use_hierarchical:
+            # REINFORCE on THIS iteration's finished episodes (on-policy for
+            # the goal policy; older ring entries are masked out)
+            mask = (carry.ep_ring_seq >= iter_start).astype(jnp.float32)
+            hier_state, hier_metrics = hier_mod.update_high_masked(
+                carry.hier,
+                carry.ep_ring_goal_obs,
+                carry.ep_ring_goal,
+                carry.ep_ring_return,
+                mask,
+                loop_cfg.hierarchical,
+                axis_name=axis_name,
+            )
+            carry = carry.replace(hier=hier_state)
+            metrics = dict(metrics, **hier_metrics)
+        return carry, metrics
 
     return train_iteration
 

@@ -139,13 +139,25 @@ class Trainer:
             )
             self.logger.info("single device: %s", self.devices[0])
 
-        self._eval_fn = jax.jit(
-            make_eval_fn(
-                self.sac_cfg,
-                cfg.training.eval_episodes,
-                history_len=self.loop_cfg.history_len,
+        if self.loop_cfg.use_hierarchical:
+            from tvc_ai_tpu.eval.rollout import make_hier_eval_fn
+
+            self._eval_fn = jax.jit(
+                make_hier_eval_fn(
+                    self.sac_cfg,
+                    self.loop_cfg.hierarchical,
+                    cfg.training.eval_episodes,
+                    history_len=self.loop_cfg.history_len,
+                )
             )
-        )
+        else:
+            self._eval_fn = jax.jit(
+                make_eval_fn(
+                    self.sac_cfg,
+                    cfg.training.eval_episodes,
+                    history_len=self.loop_cfg.history_len,
+                )
+            )
 
         # ---- state
         self.timer = StageTimer()
@@ -468,7 +480,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self) -> dict[str, float]:
-        stats = self._eval_fn(
-            jax.device_get(self.carry.agent), self._next_key(), self.eval_env_params
-        )
+        agent = jax.device_get(self.carry.agent)
+        if self.loop_cfg.use_hierarchical:
+            agent = (agent, jax.device_get(self.carry.hier))
+        stats = self._eval_fn(agent, self._next_key(), self.eval_env_params)
         return summarize_stats(stats)

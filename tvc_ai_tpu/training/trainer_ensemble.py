@@ -116,17 +116,34 @@ class EnsembleTrainer:
 
         n = cfg.training.num_envs
         t = cfg.training.rollout_steps
-        self.carry = ens.init_carry(self._next_key(), self.env_params, self.ens_cfg, n)
-        self.agent.attach_carry(self.carry)
-        self._iterations = {
-            actor: jax.jit(
-                ens.make_ensemble_iteration(
-                    actor, self.ens_cfg, n, t, cfg.training.updates_per_step
-                ),
-                donate_argnums=(0,),
+        # data-parallel over the device mesh when >1 device (members
+        # replicated, env batch + replay sharded — like the SAC trainer)
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from tvc_ai_tpu.parallel import mesh as mesh_mod
+
+            n_dev = cfg.hardware.mesh_devices or len(jax.devices())
+            self.mesh = mesh_mod.make_mesh(n_dev)
+            init_fn, self._iterations = mesh_mod.make_sharded_ensemble_train(
+                self.mesh, self.env_params, self.ens_cfg, n, t,
+                cfg.training.updates_per_step,
             )
-            for actor in ("ppo", "sac", "td3", "ensemble")
-        }
+            self.carry = init_fn(self._next_key())
+            self.logger.info("ensemble mesh: %d devices (data-parallel)", n_dev)
+        else:
+            self.carry = ens.init_carry(
+                self._next_key(), self.env_params, self.ens_cfg, n
+            )
+            self._iterations = {
+                actor: jax.jit(
+                    ens.make_ensemble_iteration(
+                        actor, self.ens_cfg, n, t, cfg.training.updates_per_step
+                    ),
+                    donate_argnums=(0,),
+                )
+                for actor in ("ppo", "sac", "td3", "ensemble")
+            }
+        self.agent.attach_carry(self.carry)
         self._eval_fns = {
             "sac": jax.jit(make_policy_eval_fn(
                 lambda a, o, k: sac_mod.select_action(
