@@ -189,3 +189,39 @@ def test_actuator_delay_shifts_response():
     # second step: the delayed env now applies the hard action
     s_d2, out_d2 = rocket_env.step(s_d1, jnp.zeros(2), delayed)
     assert float(out_d2.angular_velocity_mag) > 0.01
+
+
+def test_sensor_noise_uniform_randomizes_per_episode():
+    """sensor_noise_uniform: per-episode sigma ~ U[0, sensor_noise_std] so a
+    single policy covers both the sterile and full-noise worlds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tvc_ai_tpu.env.randomization import sample_domain_params
+    from tvc_ai_tpu.env.types import RandomizationConfig
+    from tvc_ai_tpu.physics.types import RocketParams
+
+    rocket = RocketParams()
+    cfg = RandomizationConfig(
+        enabled=False, sensor_noise_enabled=True, sensor_noise_uniform=True
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    stds = np.asarray(
+        jax.vmap(lambda k: sample_domain_params(k, rocket, cfg).sensor_noise_std)(
+            keys
+        )
+    )
+    assert stds.min() >= 0.0 and stds.max() <= 0.02
+    assert stds.std() > 0.003  # actually varies
+    assert np.unique(np.round(stds, 8)).size > 100
+
+    cfg_fixed = RandomizationConfig(
+        enabled=False, sensor_noise_enabled=True, sensor_noise_uniform=False
+    )
+    stds_fixed = np.asarray(
+        jax.vmap(
+            lambda k: sample_domain_params(k, rocket, cfg_fixed).sensor_noise_std
+        )(keys)
+    )
+    assert np.allclose(stds_fixed, 0.02)

@@ -36,12 +36,14 @@ def build_env_params(
         max_gimbal=jnp.float32(math.radians(e.max_gimbal_deg) * gimbal_scale),
         fuel_burn_rate=jnp.float32(e.fuel_burn_rate),
         double_gravity=e.double_gravity,
+        gyroscopic=e.gyroscopic,
         dt=e.physics_timestep,
         substeps=e.substeps,
     )
     rnd = RandomizationConfig(
         enabled=dr.enabled,
         sensor_noise_enabled=dr.sensor_noise_enabled,
+        sensor_noise_uniform=dr.sensor_noise_uniform,
         mass_variation=jnp.float32(
             stage.mass_variation if stage else dr.mass_variation
         ),

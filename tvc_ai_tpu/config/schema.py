@@ -347,6 +347,8 @@ class TrainingConfig:
 class DomainRandomizationConfig:
     enabled: bool = True
     sensor_noise_enabled: bool = True
+    # per-episode σ ~ U[0, sensor_noise_std] (see env/types.py)
+    sensor_noise_uniform: bool = False
     mass_variation: float = 0.3
     thrust_variation: float = 0.2
     cg_offset_max: float = 0.1
@@ -363,6 +365,9 @@ class EnvSection:
     physics_timestep: float = 0.02
     substeps: int = 4
     double_gravity: bool = True  # reference parity quirk (SURVEY §2.1)
+    # Euler gyroscopic term (physics/types.py RocketParams.gyroscopic);
+    # off = Bullet-default parity, on = physically-correct precession
+    gyroscopic: bool = False
     mass: float = 2.0
     length: float = 1.0
     radius: float = 0.05

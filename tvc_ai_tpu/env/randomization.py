@@ -27,11 +27,15 @@ def sample_domain_params(
     wind: normal σ=wind_max/2 clipped to ±wind_max per horizontal axis;
     sensor noise σ fixed from config.
     """
+    k_noise, key = jax.random.split(key)
     noise_std = (
         jnp.asarray(cfg.sensor_noise_std, jnp.float32)
         if cfg.sensor_noise_enabled
         else jnp.float32(0.0)
     )
+    if cfg.sensor_noise_enabled and cfg.sensor_noise_uniform:
+        # per-episode noise level: σ ~ U[0, sensor_noise_std]
+        noise_std = noise_std * jax.random.uniform(k_noise, ())
     if not cfg.enabled:
         return DomainParams.nominal(rocket).replace(sensor_noise_std=noise_std)
 

@@ -69,6 +69,11 @@ class RandomizationConfig:
     cg_offset_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
     wind_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0))
     sensor_noise_std: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.02))
+    # per-episode IMU-noise-level randomization: σ ~ U[0, sensor_noise_std]
+    # instead of the fixed σ. Covers the sterile (σ=0) and full-noise worlds
+    # with ONE policy — a fixed-σ-trained policy sees noise-free inputs as
+    # out-of-distribution and can fail the deterministic eval suites.
+    sensor_noise_uniform: bool = struct.field(pytree_node=False, default=False)
     # initial-condition randomization (legacy/curriculum; the enhanced env
     # resets deterministically to [0,0,1] + identity, ref :381-407,:438)
     init_tilt_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))

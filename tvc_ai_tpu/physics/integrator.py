@@ -193,6 +193,11 @@ def substep(
     # ω' = ω + I_w⁻¹ τ dt with I_w⁻¹ = R diag(1/I_b) Rᵀ (inertia is diagonal
     # in the body frame, so no linear solve — rotate, scale, rotate back)
     torque_body = quat.rotate_inverse(state.quat, torque)
+    if params.gyroscopic:
+        # full Euler equations: I ω̇_b = τ_b − ω_b × (I ω_b)
+        # (opt-in; Bullet/the reference run with this term disabled)
+        omega_body = quat.rotate_inverse(state.quat, state.omega)
+        torque_body = torque_body - jnp.cross(omega_body, inertia * omega_body)
     ang_acc = quat.rotate(state.quat, torque_body / inertia)
     omega = state.omega + ang_acc * dt
 

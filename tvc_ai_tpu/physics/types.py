@@ -74,6 +74,13 @@ class RocketParams:
 
     gravity: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(9.81))
     double_gravity: bool = struct.field(pytree_node=False, default=True)
+    # Euler gyroscopic term ω_b × (I ω_b) in the angular update. Default
+    # OFF: Bullet leaves it disabled unless explicitly enabled, and the
+    # reference uses the default (ref :324-352 never calls
+    # changeDynamics with gyroscopic flags), so parity = off. Turning it on
+    # gives physically-correct torque-free precession (see
+    # tests/test_physics_fidelity.py's analytic symmetric-top case).
+    gyroscopic: bool = struct.field(pytree_node=False, default=False)
 
     # aerodynamics
     drag_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.47))
