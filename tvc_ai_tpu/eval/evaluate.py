@@ -204,8 +204,15 @@ def load_agent_state(
         return serialization.from_state_dict(template, state_dict)
     from tvc_ai_tpu.utils.checkpoint import CheckpointManager
 
+    # accept either a manager root (picks the latest step) or a single step
+    # directory like <run>/checkpoints_best/13303808 (evaluates exactly it)
+    if path.name.isdigit() and (path / "carry").exists():
+        step_override: int | None = int(path.name)
+        path = path.parent
+    else:
+        step_override = None
     mngr = CheckpointManager(path)
-    step = mngr.latest_step()
+    step = step_override if step_override is not None else mngr.latest_step()
     try:
         restored = mngr._mngr.restore(step)
     except ValueError:

@@ -448,9 +448,16 @@ class Trainer:
                 metric = eval_metrics.get(
                     cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
                 )
-                if metric > self.best_metric + cfg.early_stopping.min_improvement:
+                # best-checkpoint capture fires on ANY improvement;
+                # min_improvement only gates the early-stopping patience
+                # counter (otherwise a 98.4%→100% eval would go unsaved)
+                if metric > self.best_metric:
+                    improved_enough = (
+                        metric > self.best_metric + cfg.early_stopping.min_improvement
+                    )
                     self.best_metric = metric
-                    self.eval_rounds_since_improvement = 0
+                    if improved_enough:
+                        self.eval_rounds_since_improvement = 0
                     if cfg.checkpointing.save_best:
                         with self.timer.stage("checkpoint"):
                             self.ckpt_best.save(
