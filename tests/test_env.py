@@ -225,3 +225,66 @@ def test_sensor_noise_uniform_randomizes_per_episode():
         )(keys)
     )
     assert np.allclose(stds_fixed, 0.02)
+
+
+def test_progress_rate_randomization():
+    """progress_rate ~ U[min, max] scales the progress observation's slope so
+    evaluation horizons the policy never trained on stay in-distribution
+    (a 1000-step-trained policy reads a 2000-step horizon's halved progress
+    slope as OOD — measured 100%->0% success)."""
+    from tvc_ai_tpu.env.randomization import sample_domain_params
+    from tvc_ai_tpu.env.types import RandomizationConfig
+    from tvc_ai_tpu.physics.types import RocketParams
+
+    rocket = RocketParams()
+    cfg = RandomizationConfig(
+        enabled=True,
+        mass_variation=jnp.float32(0.0),
+        thrust_variation=jnp.float32(0.0),
+        cg_offset_max=jnp.float32(0.0),
+        wind_max=jnp.float32(0.0),
+        progress_rate_min=jnp.float32(0.5),
+        progress_rate_max=jnp.float32(2.0),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), 256)
+    rates = np.asarray(
+        jax.vmap(lambda k: sample_domain_params(k, rocket, cfg).progress_rate)(keys)
+    )
+    assert rates.min() >= 0.5 and rates.max() <= 2.0
+    assert rates.std() > 0.2
+
+    # default range degenerates to the nominal slope
+    nominal = sample_domain_params(
+        jax.random.PRNGKey(0), rocket, RandomizationConfig(enabled=True)
+    )
+    assert float(nominal.progress_rate) == pytest.approx(1.0)
+
+    # the progress obs slot (index 9) actually follows the drawn rate
+    params = EnvParams(randomization=cfg)
+    state, _ = rocket_env.reset(jax.random.PRNGKey(7), params)
+    rate = float(state.dr.progress_rate)
+    obs = None
+    for _ in range(10):
+        state, out = rocket_env.step(state, jnp.zeros(2), params)
+        obs = out.obs
+    expected = min(1.0, 10 * rate / params.max_episode_steps)
+    assert float(obs[9]) == pytest.approx(expected, abs=1e-5)
+
+
+def test_progress_rate_and_actuator_delay_reachable_from_config():
+    """Config/CLI users can turn the new DR axes on (no silent no-ops)."""
+    from tvc_ai_tpu.config import load_config
+    from tvc_ai_tpu.config.build import build_env_params
+
+    cfg = load_config(
+        None,
+        overrides=[
+            "env.domain_randomization.progress_rate_min=0.5",
+            "env.domain_randomization.progress_rate_max=2.0",
+            "env.domain_randomization.actuator_delay=true",
+        ],
+    )
+    params = build_env_params(cfg)
+    assert float(params.randomization.progress_rate_min) == pytest.approx(0.5)
+    assert float(params.randomization.progress_rate_max) == pytest.approx(2.0)
+    assert params.randomization.actuator_delay is True

@@ -42,9 +42,11 @@ def test_curriculum_stalls_without_success():
     cfg = FrameworkConfig()
     cm = CurriculumManager(cfg)
     budget = cm.stage.episodes
-    for _ in range(10):
+    # burn many multiples of the stage budget at 0% success: promotion is
+    # strictly on merit (no budget-exhaustion hard cap — at 512 parallel
+    # envs budgets elapse in seconds, and a cap would skip every stage)
+    for _ in range(50):
         cm.update(episodes_finished=budget // 10, success_rate=0.0)
-    # only the 2x-budget hard cap can advance; at exactly 1x it must not
     assert cm.stage_idx == 0
 
 

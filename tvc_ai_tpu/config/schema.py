@@ -310,7 +310,7 @@ class SafetyConfig:
 @dataclass
 class EarlyStoppingConfig:
     enabled: bool = True
-    patience: int = 5          # eval rounds without improvement
+    patience: int = 40         # eval rounds without improvement (~ref 200k steps at eval_freq 5000, scripts/train.py:485-488)
     min_improvement: float = 0.05
     metric: str = "eval_success_rate"
 
@@ -354,9 +354,15 @@ class DomainRandomizationConfig:
     cg_offset_max: float = 0.1
     wind_max: float = 3.0
     sensor_noise_std: float = 0.02
+    # per-episode progress-slope randomization (1.0/1.0 = off); see
+    # env/types.py RandomizationConfig.progress_rate_*
+    progress_rate_min: float = 1.0
+    progress_rate_max: float = 1.0
     init_tilt_max: float = 0.0
     init_omega_max: float = 0.0
     init_pos_jitter: float = 0.0
+    # one-control-step actuator delay (DR spec, ref config.yaml:340-349)
+    actuator_delay: bool = False
 
 
 @dataclass

@@ -27,7 +27,7 @@ def sample_domain_params(
     wind: normal σ=wind_max/2 clipped to ±wind_max per horizontal axis;
     sensor noise σ fixed from config.
     """
-    k_noise, key = jax.random.split(key)
+    k_noise, k_prog, key = jax.random.split(key, 3)
     noise_std = (
         jnp.asarray(cfg.sensor_noise_std, jnp.float32)
         if cfg.sensor_noise_enabled
@@ -39,6 +39,10 @@ def sample_domain_params(
     if not cfg.enabled:
         return DomainParams.nominal(rocket).replace(sensor_noise_std=noise_std)
 
+    # progress-slope randomization (see RandomizationConfig.progress_rate_*)
+    progress_rate = jax.random.uniform(
+        k_prog, (), minval=cfg.progress_rate_min, maxval=cfg.progress_rate_max
+    )
     k_mass, k_thrust, k_cg, k_wind = jax.random.split(key, 4)
     mass = rocket.mass * (
         1.0
@@ -65,4 +69,5 @@ def sample_domain_params(
         cg_offset=cg_offset.astype(jnp.float32),
         wind=wind.astype(jnp.float32),
         sensor_noise_std=noise_std,
+        progress_rate=progress_rate.astype(jnp.float32),
     )

@@ -51,11 +51,14 @@ def _observe(
     params: EnvParams,
     noise_key: jnp.ndarray,
     noise_std: jnp.ndarray,
+    progress_rate: jnp.ndarray,
 ) -> jnp.ndarray:
     """10-D observation [quat, ω, fuel, phase/7, progress] (ref :587-606).
 
     IMU noise (domain-randomization spec, config.yaml:347-349) perturbs the
-    quaternion (renormalized) and angular-velocity channels.
+    quaternion (renormalized) and angular-velocity channels. ``progress_rate``
+    (nominal 1.0) scales the progress slope per episode — see
+    DomainParams.progress_rate.
     """
     kq, kw = jax.random.split(noise_key)
     q = state_body.quat + jax.random.normal(kq, (4,)) * noise_std
@@ -63,7 +66,8 @@ def _observe(
     w = state_body.omega + jax.random.normal(kw, (3,)) * noise_std
     phase_value = phase.astype(jnp.float32) / NUM_PHASES
     progress = jnp.minimum(
-        1.0, step_count.astype(jnp.float32) / params.max_episode_steps
+        1.0,
+        step_count.astype(jnp.float32) * progress_rate / params.max_episode_steps,
     )
     return jnp.concatenate(
         [q, w, fuel[None], phase_value[None], progress[None]]
@@ -110,7 +114,7 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     )
     obs = _observe(
         body, state.fuel, state.phase, state.step_count, params, k_noise,
-        dr.sensor_noise_std,
+        dr.sensor_noise_std, dr.progress_rate,
     )
     return state, obs
 
@@ -157,7 +161,7 @@ def step(
 
     # 4. observation with PRE-update phase (ref ordering :482 vs :485)
     obs = _observe(body, fuel, state.phase, step_count, params, k_noise,
-                   state.dr.sensor_noise_std)
+                   state.dr.sensor_noise_std, state.dr.progress_rate)
 
     # 5. mission FSM + success window (post-physics quantities)
     new_phase, completed = mission_mod.update_phase(

@@ -46,6 +46,13 @@ class DomainParams:
     cg_offset: jnp.ndarray     # (3,) m, body frame
     wind: jnp.ndarray          # (3,) N, world frame, constant over the episode
     sensor_noise_std: jnp.ndarray
+    # multiplier on the progress observation's per-step increment; the obs
+    # becomes min(1, step · progress_rate / max_episode_steps). Randomizing
+    # it per episode makes the policy robust to evaluation horizons it was
+    # never trained on (the ref suites use 1000/1500/2000-step horizons, and
+    # a policy trained at one horizon reads a different progress slope as
+    # out-of-distribution — measured 100%→0% success at 1000→2000).
+    progress_rate: jnp.ndarray
 
     @staticmethod
     def nominal(rocket: RocketParams) -> "DomainParams":
@@ -55,6 +62,7 @@ class DomainParams:
             cg_offset=jnp.zeros(3, jnp.float32),
             wind=jnp.zeros(3, jnp.float32),
             sensor_noise_std=jnp.float32(0.0),
+            progress_rate=jnp.float32(1.0),
         )
 
 
@@ -76,6 +84,11 @@ class RandomizationConfig:
     sensor_noise_uniform: bool = struct.field(pytree_node=False, default=False)
     # initial-condition randomization (legacy/curriculum; the enhanced env
     # resets deterministically to [0,0,1] + identity, ref :381-407,:438)
+    # per-episode progress-slope randomization: progress_rate ~ U[min, max]
+    # (1.0/1.0 = off). Train with e.g. [0.5, 2.0] so the 1500/2000-step eval
+    # horizons' slower progress slopes are in-distribution.
+    progress_rate_min: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    progress_rate_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
     init_tilt_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
     init_omega_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
     init_pos_jitter: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))

@@ -91,9 +91,10 @@ class CurriculumManager:
         import numpy as np
 
         rolling = float(np.mean(self.success_window))
-        # hard cap: stage exhausted its budget → move on regardless
-        if self.episodes_in_stage >= stage.episodes * 2:
-            return True
+        # promotion strictly on merit (ref :248-307 advances only when the
+        # success criteria are met; a budget-exhaustion hard cap promotes at
+        # 0 % success within seconds at 512 parallel envs, because episode
+        # budgets sized for single-env training elapse ~512x faster)
         return rolling >= stage.success_threshold
 
     def advance_stage(self) -> None:
