@@ -288,3 +288,50 @@ def test_progress_rate_and_actuator_delay_reachable_from_config():
     assert float(params.randomization.progress_rate_min) == pytest.approx(0.5)
     assert float(params.randomization.progress_rate_max) == pytest.approx(2.0)
     assert params.randomization.actuator_delay is True
+
+
+def test_sensor_dropout_holds_last_imu():
+    """sensor_dropout_prob=1: the IMU channels (obs[:7]) freeze at the reset
+    reading while the true state keeps evolving (hold-last fault injection —
+    ref GUIDE/Config-guide/CONFIG_GUIDE.md:93-96 spec, unimplemented there).
+    The non-IMU channels (fuel/phase/progress) keep updating."""
+    from tvc_ai_tpu.env.types import RandomizationConfig as RC
+
+    drop = EnvParams(
+        randomization=RC(sensor_dropout_prob=jnp.float32(1.0))
+    )
+    state, obs0 = rocket_env.reset(jax.random.PRNGKey(5), drop)
+    hard = jnp.array([1.0, 0.3])
+    obs = None
+    for _ in range(5):
+        state, out = rocket_env.step(state, hard, drop)
+        obs = out.obs
+    assert np.allclose(np.asarray(obs[:7]), np.asarray(obs0[:7]))
+    assert float(obs[9]) > 0.0  # progress still advances
+    # true state diverged from the frozen reading
+    assert float(jnp.linalg.norm(state.body.omega)) > 1e-3
+
+    # prob 0 (default): IMU tracks the true state again
+    clean = EnvParams()
+    state, obs0 = rocket_env.reset(jax.random.PRNGKey(5), clean)
+    for _ in range(5):
+        state, out = rocket_env.step(state, hard, clean)
+    assert not np.allclose(np.asarray(out.obs[:7]), np.asarray(obs0[:7]))
+
+
+def test_sensor_dropout_reachable_from_config():
+    from tvc_ai_tpu.config import load_config
+    from tvc_ai_tpu.config.build import build_env_params
+
+    cfg = load_config(
+        None,
+        overrides=[
+            "env.domain_randomization.sensor_dropout_prob=0.01",
+            "env.magnus_effect=true",
+            "env.ground_effect=true",
+        ],
+    )
+    params = build_env_params(cfg)
+    assert float(params.randomization.sensor_dropout_prob) == pytest.approx(0.01)
+    assert params.rocket.magnus_effect is True
+    assert params.rocket.ground_effect is True

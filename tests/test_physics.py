@@ -1,5 +1,7 @@
 """Unit tests for the 6-DOF integrator (the PyBullet replacement)."""
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -148,3 +150,57 @@ def test_batched_step_matches_single():
     ):
         assert np.allclose(leaf_s, leaf_b[0], atol=1e-6)
         assert np.allclose(leaf_s, leaf_b[1], atol=1e-6)
+
+
+def test_magnus_force_direction():
+    """Opt-in Magnus lift: spin about +z with velocity +x gives a +y force
+    (F ~ omega x v), absent when the flag is off (reference parity: the ref
+    declares magnus_effect in config.yaml:356 but never implements it)."""
+    from tvc_ai_tpu.physics.integrator import aero_wrench
+    from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
+
+    state = RigidBodyState(
+        pos=jnp.array([0.0, 0.0, 5.0]),
+        quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
+        vel=jnp.array([3.0, 0.0, 0.0]),
+        omega=jnp.array([0.0, 0.0, 10.0]),
+    )
+    off = aero_wrench(state, RocketParams())
+    on = aero_wrench(state, RocketParams(magnus_effect=True))
+    dy = float(on.force[1] - off.force[1])
+    assert dy > 0.0  # omega(+z) x v(+x) = +y
+    # magnitude matches C_m * rho * pi r^2 l * |omega x v|
+    rho = 1.225 * math.exp(-5.0 / 8400.0)
+    expected = rho * math.pi * 0.05**2 * 1.0 * 10.0 * 3.0
+    assert dy == pytest.approx(expected, rel=1e-4)
+    assert float(jnp.linalg.norm(on.force[0] - off.force[0])) == pytest.approx(
+        0.0, abs=1e-6
+    )
+
+
+def test_ground_effect_boosts_thrust_near_pad():
+    """Opt-in ground effect: effective thrust is higher near the ground and
+    decays away from it; off = no change (ref config.yaml:357 parity)."""
+    from tvc_ai_tpu.physics.integrator import ThrustControl, thrust_wrench
+    from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
+
+    def upright(alt):
+        return RigidBodyState(
+            pos=jnp.array([0.0, 0.0, alt]),
+            quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
+            vel=jnp.zeros(3),
+            omega=jnp.zeros(3),
+        )
+
+    ctrl = ThrustControl(gimbal=jnp.zeros(2), thrust_active=jnp.bool_(True))
+    one = jnp.float32(1.0)
+    zero3 = jnp.zeros(3)
+    p_on = RocketParams(ground_effect=True)
+    p_off = RocketParams()
+    low = thrust_wrench(upright(0.1), ctrl, p_on, one, zero3)
+    high = thrust_wrench(upright(10.0), ctrl, p_on, one, zero3)
+    base = thrust_wrench(upright(0.1), ctrl, p_off, one, zero3)
+    assert float(low.force[2]) > float(high.force[2])
+    assert float(low.force[2]) > float(base.force[2])
+    # far from the pad the boost vanishes
+    assert float(high.force[2]) == pytest.approx(35.0, rel=1e-3)

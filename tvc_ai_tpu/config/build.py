@@ -37,6 +37,8 @@ def build_env_params(
         fuel_burn_rate=jnp.float32(e.fuel_burn_rate),
         double_gravity=e.double_gravity,
         gyroscopic=e.gyroscopic,
+        magnus_effect=e.magnus_effect,
+        ground_effect=e.ground_effect,
         dt=e.physics_timestep,
         substeps=e.substeps,
     )
@@ -61,6 +63,7 @@ def build_env_params(
         progress_rate_min=jnp.float32(dr.progress_rate_min),
         progress_rate_max=jnp.float32(dr.progress_rate_max),
         actuator_delay=dr.actuator_delay,
+        sensor_dropout_prob=jnp.float32(dr.sensor_dropout_prob),
     )
     ms = cfg.mission_success
     success = SuccessConfig(

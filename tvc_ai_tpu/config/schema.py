@@ -363,6 +363,9 @@ class DomainRandomizationConfig:
     init_pos_jitter: float = 0.0
     # one-control-step actuator delay (DR spec, ref config.yaml:340-349)
     actuator_delay: bool = False
+    # per-step IMU hold-last fault rate (ref GUIDE/Config-guide/
+    # CONFIG_GUIDE.md:93-96 sensor_dropout_prob, unimplemented there)
+    sensor_dropout_prob: float = 0.0
 
 
 @dataclass
@@ -374,6 +377,11 @@ class EnvSection:
     # Euler gyroscopic term (physics/types.py RocketParams.gyroscopic);
     # off = Bullet-default parity, on = physically-correct precession
     gyroscopic: bool = False
+    # Magnus lift / ground-effect thrust augmentation (the reference's
+    # config.yaml:356-357 declares both true but never implements either;
+    # implemented here opt-in, physics/types.py RocketParams)
+    magnus_effect: bool = False
+    ground_effect: bool = False
     mass: float = 2.0
     length: float = 1.0
     radius: float = 0.05

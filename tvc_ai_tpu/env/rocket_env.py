@@ -52,26 +52,37 @@ def _observe(
     noise_key: jnp.ndarray,
     noise_std: jnp.ndarray,
     progress_rate: jnp.ndarray,
-) -> jnp.ndarray:
+    prev_imu: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """10-D observation [quat, ω, fuel, phase/7, progress] (ref :587-606).
 
     IMU noise (domain-randomization spec, config.yaml:347-349) perturbs the
     quaternion (renormalized) and angular-velocity channels. ``progress_rate``
     (nominal 1.0) scales the progress slope per episode — see
-    DomainParams.progress_rate.
+    DomainParams.progress_rate. With ``sensor_dropout_prob`` > 0 and a
+    ``prev_imu`` available, the IMU channels go stale (hold-last) on dropout
+    steps. Returns ``(obs, imu)`` where ``imu`` is the presented 7-channel
+    [quat, ω] reading to carry as the next ``prev_imu``.
     """
-    kq, kw = jax.random.split(noise_key)
+    kq, kw, kd = jax.random.split(noise_key, 3)
     q = state_body.quat + jax.random.normal(kq, (4,)) * noise_std
     q = quat.normalize(q)
     w = state_body.omega + jax.random.normal(kw, (3,)) * noise_std
+    imu = jnp.concatenate([q, w]).astype(jnp.float32)
+    if prev_imu is not None:
+        drop = jax.random.bernoulli(
+            kd, params.randomization.sensor_dropout_prob
+        )
+        imu = jnp.where(drop, prev_imu, imu)
     phase_value = phase.astype(jnp.float32) / NUM_PHASES
     progress = jnp.minimum(
         1.0,
         step_count.astype(jnp.float32) * progress_rate / params.max_episode_steps,
     )
-    return jnp.concatenate(
-        [q, w, fuel[None], phase_value[None], progress[None]]
+    obs = jnp.concatenate(
+        [imu, fuel[None], phase_value[None], progress[None]]
     ).astype(jnp.float32)
+    return obs, imu
 
 
 def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
@@ -98,6 +109,10 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
         vel=jnp.zeros(3, jnp.float32),
         omega=omega0.astype(jnp.float32),
     )
+    obs, imu = _observe(
+        body, jnp.float32(1.0), jnp.int32(PHASE_BOOST), jnp.int32(0), params,
+        k_noise, dr.sensor_noise_std, dr.progress_rate,
+    )
     state = EnvState(
         body=body,
         fuel=jnp.float32(1.0),
@@ -109,12 +124,9 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
         has_prev_action=jnp.bool_(False),
         reward_window=jnp.zeros(params.reward.variance_window, jnp.float32),
         reward_window_len=jnp.int32(0),
+        prev_imu=imu,
         dr=dr,
         key=k_next,
-    )
-    obs = _observe(
-        body, state.fuel, state.phase, state.step_count, params, k_noise,
-        dr.sensor_noise_std, dr.progress_rate,
     )
     return state, obs
 
@@ -160,8 +172,9 @@ def step(
     crashed = altitude < params.termination.crash_altitude
 
     # 4. observation with PRE-update phase (ref ordering :482 vs :485)
-    obs = _observe(body, fuel, state.phase, step_count, params, k_noise,
-                   state.dr.sensor_noise_std, state.dr.progress_rate)
+    obs, imu = _observe(body, fuel, state.phase, step_count, params, k_noise,
+                        state.dr.sensor_noise_std, state.dr.progress_rate,
+                        prev_imu=state.prev_imu)
 
     # 5. mission FSM + success window (post-physics quantities)
     new_phase, completed = mission_mod.update_phase(
@@ -235,6 +248,7 @@ def step(
         has_prev_action=jnp.bool_(True),
         reward_window=reward_window,
         reward_window_len=reward_window_len,
+        prev_imu=imu,
         dr=state.dr,
         key=key,
     )

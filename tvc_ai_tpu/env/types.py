@@ -82,6 +82,14 @@ class RandomizationConfig:
     # with ONE policy — a fixed-σ-trained policy sees noise-free inputs as
     # out-of-distribution and can fail the deterministic eval suites.
     sensor_noise_uniform: bool = struct.field(pytree_node=False, default=False)
+    # per-step probability the IMU reading goes stale (sensor fault
+    # injection — spec'd in the reference's GUIDE/Config-guide/
+    # CONFIG_GUIDE.md:93-96 ``sensor_dropout_prob`` but never implemented
+    # there): on a dropout step the policy sees the PREVIOUS quat/ω reading
+    # (hold-last, like a real IMU packet drop). 0.0 = off.
+    sensor_dropout_prob: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
     # initial-condition randomization (legacy/curriculum; the enhanced env
     # resets deterministically to [0,0,1] + identity, ref :381-407,:438)
     # per-episode progress-slope randomization: progress_rate ~ U[min, max]
@@ -186,6 +194,8 @@ class EnvState:
     has_prev_action: jnp.ndarray  # bool (first-step smoothness = 1.0, ref :170-179)
     reward_window: jnp.ndarray   # (variance_window,) rolling recent rewards
     reward_window_len: jnp.ndarray  # i32, #valid entries in the window
+    prev_imu: jnp.ndarray        # (7,) last presented [quat, ω] reading
+                                 # (held on sensor-dropout steps)
     dr: DomainParams
     key: jnp.ndarray             # per-env PRNG key (sensor noise, next reset)
 

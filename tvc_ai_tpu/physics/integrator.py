@@ -86,7 +86,17 @@ def thrust_wrench(
     frame, from domain randomization) shifts the application point, modeling
     CG uncertainty (ref spec: config/config.yaml cg_offset_range ≤ 0.1).
     """
-    f_body = thrust_body_vector(control.gimbal, params.thrust * thrust_scale)
+    thrust = params.thrust * thrust_scale
+    if params.ground_effect:
+        # plume reflection boosts effective thrust near the pad (opt-in;
+        # ref config.yaml:357 flag, unimplemented in the reference)
+        alt = jnp.maximum(state.pos[..., 2], 0.0)
+        thrust = thrust * (
+            1.0
+            + params.ground_effect_strength
+            * jnp.exp(-alt / params.ground_effect_height)
+        )
+    f_body = thrust_body_vector(control.gimbal, thrust)
     f_world = quat.rotate(state.quat, f_body)
     lever_body = params.thrust_offset - cg_offset
     lever_world = quat.rotate(state.quat, lever_body)
@@ -112,7 +122,18 @@ def aero_wrench(state: RigidBodyState, params: RocketParams) -> ForceTorque:
     drag = -state.vel * (drag_mag * inv_speed)[..., None]
     drag = jnp.where((speed > params.drag_min_speed)[..., None], drag, 0.0)
     damping_torque = -(params.aero_angular_damping * rho)[..., None] * state.omega
-    return ForceTorque(force=drag, torque=damping_torque)
+    force = drag
+    if params.magnus_effect:
+        # Kutta–Joukowski lift for the rotating cylinder (opt-in; ref
+        # config.yaml:356 flag, unimplemented in the reference):
+        # F = C_m · ρ · π r² l · (ω × v), applied at the CG
+        area_vol = jnp.pi * params.radius**2 * params.length
+        magnus = (
+            (params.magnus_coeff * rho * area_vol)[..., None]
+            * jnp.cross(state.omega, state.vel)
+        )
+        force = force + magnus
+    return ForceTorque(force=force, torque=damping_torque)
 
 
 def contact_wrench(state: RigidBodyState, params: RocketParams,

@@ -81,6 +81,22 @@ class RocketParams:
     # gives physically-correct torque-free precession (see
     # tests/test_physics_fidelity.py's analytic symmetric-top case).
     gyroscopic: bool = struct.field(pytree_node=False, default=False)
+    # Magnus force on the spinning body (ref config/config.yaml:356 sets
+    # ``magnus_effect: true`` but the reference env never implements it —
+    # implemented here, opt-in). Model: Kutta–Joukowski lift for a rotating
+    # cylinder, F = C_m · ρ · π r² l · (ω × v), applied at the CG.
+    magnus_effect: bool = struct.field(pytree_node=False, default=False)
+    magnus_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    # Ground-effect thrust augmentation (ref config/config.yaml:357, also
+    # unimplemented there): plume reflection boosts effective thrust near
+    # the pad, thrust_eff = thrust · (1 + strength · exp(−alt / height)).
+    ground_effect: bool = struct.field(pytree_node=False, default=False)
+    ground_effect_strength: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.1)
+    )
+    ground_effect_height: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.5)
+    )
 
     # aerodynamics
     drag_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.47))
