@@ -296,3 +296,27 @@ def test_config_coerces_yaml_scientific_notation():
     assert cfg.training.early_stopping.enabled is False
     sc = build_sac_config(cfg)
     assert isinstance(sc.lr_actor, float)
+
+
+def test_curriculum_eval_driven_promotion():
+    """Promotion from deterministic-eval success (the reference's signal,
+    curriculum_manager.py:248): 3+ evals above threshold advance the stage;
+    the eval window clears on promotion so each stage needs fresh evidence."""
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    stage0 = cm.stage.name
+    assert not cm.update_eval(0.95)  # needs >= 3 entries
+    assert not cm.update_eval(0.95)
+    assert cm.update_eval(0.95)      # rolling mean 0.95 >= 0.7 -> advance
+    assert cm.stage.name != stage0
+    assert len(cm.eval_window) == 0  # cleared on promotion
+    # low evals never promote
+    for _ in range(10):
+        assert not cm.update_eval(0.1)
+    # state roundtrips the eval window
+    cm.update_eval(0.5)
+    d = cm.state_dict()
+    cm2 = CurriculumManager(cfg)
+    cm2.load_state_dict(d)
+    assert list(cm2.eval_window) == list(cm.eval_window)
+    assert cm2.stage.name == cm.stage.name

@@ -30,6 +30,13 @@ class CurriculumManager:
         self.stage_idx = 0
         self.episodes_in_stage = 0
         self.success_window: deque[float] = deque(maxlen=self.cur.stability_window)
+        # deterministic-eval success window (the reference drives promotion
+        # from eval_metrics, curriculum_manager.py:248 — training-rollout
+        # success under stochastic actions rarely clears the 100-consecutive-
+        # step criterion, so an eval-driven path is required in practice)
+        self.eval_window: deque[float] = deque(
+            maxlen=max(3, self.cur.stability_window // 10)
+        )
         self.history: list[dict] = []
 
     # ------------------------------------------------------------ queries
@@ -80,6 +87,21 @@ class CurriculumManager:
             return True
         return False
 
+    def update_eval(self, eval_success_rate: float) -> bool:
+        """Feed a deterministic-eval success rate (ref promotion signal,
+        curriculum_manager.py:248 ``update(step, eval_metrics)``); returns
+        True if the stage advanced."""
+        if not self.enabled or self.finished:
+            return False
+        self.eval_window.append(float(eval_success_rate))
+        if len(self.eval_window) >= 3:
+            import numpy as np
+
+            if float(np.mean(self.eval_window)) >= self.stage.success_threshold:
+                self.advance_stage()
+                return True
+        return False
+
     def should_advance_stage(self) -> bool:
         if self.finished:
             return False
@@ -112,6 +134,7 @@ class CurriculumManager:
         self.stage_idx += 1
         self.episodes_in_stage = 0
         self.success_window.clear()
+        self.eval_window.clear()
 
     # ------------------------------------------------------------ persistence
     def state_dict(self) -> dict:
@@ -119,6 +142,7 @@ class CurriculumManager:
             "stage_idx": self.stage_idx,
             "episodes_in_stage": self.episodes_in_stage,
             "success_window": list(self.success_window),
+            "eval_window": list(self.eval_window),
             "history": self.history,
         }
 
@@ -127,6 +151,9 @@ class CurriculumManager:
         self.episodes_in_stage = int(d.get("episodes_in_stage", 0))
         self.success_window = deque(
             d.get("success_window", []), maxlen=self.cur.stability_window
+        )
+        self.eval_window = deque(
+            d.get("eval_window", []), maxlen=max(3, self.cur.stability_window // 10)
         )
         self.history = list(d.get("history", []))
 

@@ -445,6 +445,21 @@ class Trainer:
                     eval_metrics["eval_reward_mean"],
                     100 * eval_metrics["eval_crash_rate"],
                 )
+                # eval-driven curriculum promotion (the reference's signal:
+                # curriculum_manager.py:248 takes eval_metrics; training-
+                # rollout success under stochastic actions rarely clears the
+                # 100-consecutive-step criterion, so this is the path that
+                # actually promotes in practice)
+                if self.curriculum.update_eval(
+                    eval_metrics["eval_success_rate"]
+                ):
+                    stage = self.curriculum.get_environment_config()
+                    self.env_params = build_env_params(self.cfg, stage)
+                    self.logger.info(
+                        "curriculum advanced to stage %d (%s) [eval-driven]",
+                        self.curriculum.stage_idx,
+                        stage.name if stage else "graduated",
+                    )
                 metric = eval_metrics.get(
                     cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
                 )
