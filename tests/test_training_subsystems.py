@@ -306,8 +306,9 @@ def test_curriculum_eval_driven_promotion():
     cm = CurriculumManager(cfg)
     stage0 = cm.stage.name
     assert not cm.update_eval(0.95)  # needs >= 3 entries
-    assert not cm.update_eval(0.95)
-    assert cm.update_eval(0.95)      # rolling mean 0.95 >= 0.7 -> advance
+    assert not cm.update_eval(0.2)
+    assert cm.update_eval(0.2)       # window max 0.95 >= 0.7 -> advance
+    # (max-gate: oscillating policies demonstrate capability between dips)
     assert cm.stage.name != stage0
     assert len(cm.eval_window) == 0  # cleared on promotion
     # low evals never promote
