@@ -184,6 +184,18 @@ def test_survival_normalized_success_bonus():
     assert float(out_again.reward) == pytest.approx(
         float(out_again_off.reward), rel=1e-6
     )
+    # survival_success_scale multiplies the payout (the window covers the
+    # reward-depressed descent phase, so >1 keeps success strictly dominant)
+    params_scaled = dc.replace(
+        params_off,
+        reward=RewardConfig(
+            survival_normalized_success=True,
+            survival_success_scale=jnp.float32(2.0),
+        ),
+    )
+    _, out_scaled = rocket_env.step(state_off, action, params_scaled)
+    bonus_scaled = float(out_scaled.reward) - float(out_off.reward)
+    assert bonus_scaled == pytest.approx(2.0 * bonus, rel=1e-4)
 
 
 @pytest.mark.integration

@@ -90,6 +90,7 @@ def build_env_params(
         clip_max=jnp.float32(r.clip_max),
         target_altitude=jnp.float32(r.target_altitude),
         survival_normalized_success=r.survival_normalized_success,
+        survival_success_scale=jnp.float32(r.survival_success_scale),
     )
     sc = cfg.safety.constraints
     termination = TerminationConfig(

@@ -254,6 +254,10 @@ class RewardSection:
     # opt-in fix for the inherited success-disincentive flaw (see
     # env/types.py RewardConfig.survival_normalized_success); off = parity
     survival_normalized_success: bool = False
+    # payout multiplier (env/types.py RewardConfig.survival_success_scale):
+    # the payout window covers the descent phase whose step rewards are
+    # depressed, so >1 keeps success strictly dominant over edge-hovering
+    survival_success_scale: float = 1.0
 
 
 @dataclass

@@ -223,7 +223,11 @@ def step(
             params.max_episode_steps - step_count, 0
         ).astype(jnp.float32)
         total_reward = total_reward + jnp.where(
-            first_success, jnp.maximum(window_mean, 0.0) * remaining, 0.0
+            first_success,
+            jnp.maximum(window_mean, 0.0)
+            * remaining
+            * params.reward.survival_success_scale,
+            0.0,
         )
 
     # 7. termination with POST-update success flag (ref :697-721)

@@ -153,6 +153,16 @@ class RewardConfig:
     survival_normalized_success: bool = struct.field(
         pytree_node=False, default=False
     )
+    # Multiplier on the survival-normalized payout. The window mean is taken
+    # over the LAST steps before success — the descent phase, whose per-step
+    # reward is depressed vs hovering at the 3 m altitude target — so a 1.0
+    # payout underpays success relative to continued edge-hovering and a
+    # converged reward-maximizer under hard domain randomization reverts to
+    # hover-farming (measured: nominal eval 86% → ~10% after hard-DR
+    # training). >1 restores strict dominance of succeeding.
+    survival_success_scale: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(1.0)
+    )
 
 
 @struct.dataclass
