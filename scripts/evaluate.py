@@ -25,6 +25,9 @@ def main() -> int:
     parser.add_argument("--suite", choices=["standard", "robustness", "stress",
                                             "all"], default="all")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--trajectories", type=int, default=0,
+                        help="record N standard-suite episode trajectories "
+                             "and save a per-episode trajectory plot")
     parser.add_argument("--rocket_mass", type=float, default=2.0,
                         help="suite nominal mass (1.5 = legacy-gen policies)")
     parser.add_argument("--cpu", action="store_true")
@@ -65,6 +68,23 @@ def main() -> int:
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}
+
+    if args.trajectories > 0:
+        from tvc_ai_tpu.eval.evaluate import _suite_env_params
+        from tvc_ai_tpu.eval.rollout import make_trajectory_fn, plot_trajectories
+        import jax
+
+        traj_fn = jax.jit(make_trajectory_fn(
+            sac_cfg, args.trajectories, args.action_dim, obs_dim
+        ))
+        series = traj_fn(
+            agent_state,
+            jax.random.PRNGKey(args.seed),
+            _suite_env_params("standard", args.rocket_mass),
+        )
+        plot_trajectories(series, out / "trajectory_plots.png",
+                          max_episodes=args.trajectories)
+        print(f"trajectories: {out / 'trajectory_plots.png'}")
 
     for name, result in results.items():
         m = result.metrics

@@ -67,3 +67,47 @@ def test_obs_dim_truncation_for_legacy_agents():
     eval_fn = jax.jit(make_eval_fn(cfg, num_episodes=2, obs_dim=8))
     stats = eval_fn(agent8, jax.random.PRNGKey(1), EnvParams(max_episode_steps=20))
     assert np.all(np.isfinite(np.asarray(stats.returns)))
+
+
+def test_trajectory_recorder_shapes_and_masking():
+    """make_trajectory_fn returns (T, E) series; live mask goes 1->0 and
+    never back; recorded quantities are finite while live."""
+    import numpy as np
+
+    from tvc_ai_tpu.agents import sac as sac_mod
+    from tvc_ai_tpu.env.types import EnvParams
+    from tvc_ai_tpu.eval.rollout import make_trajectory_fn
+
+    cfg = sac_mod.SACConfig(hidden_dims=(16, 16))
+    agent = sac_mod.init(jax.random.PRNGKey(0), 10, 2, cfg)
+    params = EnvParams(max_episode_steps=50)
+    fn = jax.jit(make_trajectory_fn(cfg, 4))
+    series = fn(agent, jax.random.PRNGKey(1), params)
+    T, E = 50, 4
+    assert series["altitude"].shape == (T, E)
+    assert series["action"].shape == (T, E, 2)
+    live = np.asarray(series["live"])
+    # monotone non-increasing live mask per episode
+    assert (np.diff(live, axis=0) <= 1e-6).all()
+    alt = np.asarray(series["altitude"])
+    assert np.isfinite(alt[live > 0.5]).all()
+
+
+def test_plot_trajectories_writes_png(tmp_path):
+    import numpy as np
+
+    from tvc_ai_tpu.eval.rollout import plot_trajectories
+
+    T, E = 30, 3
+    rng = np.random.default_rng(0)
+    series = {
+        "altitude": rng.uniform(0, 5, (T, E)),
+        "tilt": rng.uniform(0, 0.5, (T, E)),
+        "angular_velocity": rng.uniform(0, 2, (T, E)),
+        "reward": rng.uniform(0, 100, (T, E)),
+        "live": np.ones((T, E)),
+        "action": rng.uniform(-1, 1, (T, E, 2)),
+    }
+    out = tmp_path / "traj.png"
+    plot_trajectories(series, out)
+    assert out.exists() and out.stat().st_size > 10_000

@@ -188,6 +188,121 @@ def make_hier_eval_fn(
     return make_policy_eval_fn(policy_fn, num_episodes, history_len=history_len)
 
 
+def make_trajectory_fn(
+    sac_cfg: sac_mod.SACConfig,
+    num_episodes: int,
+    action_dim: int = 2,
+    obs_dim: int | None = None,
+    history_len: int = 1,
+):
+    """Jittable full-trajectory recorder (ref evaluate.py's optional
+    per-episode trajectory capture, scripts/evaluate.py:235-309): returns
+    ``(agent, key, env_params) -> dict`` of (T, E)-shaped time series
+    [altitude, tilt, angular_velocity, reward, live] plus (T, E, A) actions.
+    Memory: T×E×~7 floats — fine for suite-sized episode counts."""
+
+    batched_step = jax.vmap(rocket_env.step, in_axes=(0, 0, None))
+
+    def policy_fn(agent, obs, key):
+        view = obs if obs_dim is None else obs[..., :obs_dim]
+        return sac_mod.select_action(
+            agent, view, key, sac_cfg, action_dim, deterministic=True
+        )
+
+    def traj_fn(agent, key, env_params: EnvParams):
+        k_reset, k_act = jax.random.split(key)
+        keys = jax.random.split(k_reset, num_episodes)
+        states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
+            keys, env_params
+        )
+        if history_len > 1:
+            obs = jnp.tile(obs[:, None, :], (1, history_len, 1))
+        done0 = jnp.zeros(num_episodes, bool)
+
+        def step_fn(carry, _):
+            states, obs, done = carry
+            view = obs.reshape(num_episodes, -1) if history_len > 1 else obs
+            actions = policy_fn(agent, view, k_act)
+            new_states, out = batched_step(states, actions, env_params)
+            record = {
+                "altitude": out.altitude,
+                "tilt": out.tilt,
+                "angular_velocity": out.angular_velocity_mag,
+                "reward": out.reward,
+                "live": (~done).astype(jnp.float32),
+                "action": actions,
+            }
+            new_done = done | out.terminated | out.truncated
+            states = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(done, done.shape + (1,) * (jnp.ndim(new) - 1)),
+                    old, new,
+                ),
+                new_states, states,
+            )
+            if history_len > 1:
+                shifted = jnp.concatenate([obs[:, 1:], out.obs[:, None, :]], axis=1)
+                obs = jnp.where(done[:, None, None], obs, shifted)
+            else:
+                obs = jnp.where(done[:, None], obs, out.obs)
+            return (states, obs, new_done), record
+
+        _, series = jax.lax.scan(
+            step_fn, (states, obs, done0), None,
+            length=env_params.max_episode_steps,
+        )
+        return series
+
+    return traj_fn
+
+
+def plot_trajectories(series: dict, path, max_episodes: int = 8) -> None:
+    """4-panel per-episode trajectory figure (ref trajectory plots,
+    scripts/evaluate.py:394-539): altitude, tilt, |ω|, and gimbal commands
+    over time; finished-episode tails are masked out."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    live = np.asarray(series["live"])  # (T, E)
+    T, E = live.shape
+    n = min(max_episodes, E)
+    t = np.arange(T) * 0.02  # 50 Hz control steps → seconds
+    fig, axes = plt.subplots(2, 2, figsize=(14, 8))
+
+    def masked(name, ep):
+        vals = np.asarray(series[name])[:, ep].astype(float)
+        m = live[:, ep] > 0.5
+        vals[~m] = np.nan
+        return vals
+
+    for ep in range(n):
+        axes[0, 0].plot(t, masked("altitude", ep), alpha=0.7, lw=1)
+        axes[0, 1].plot(t, np.degrees(masked("tilt", ep)), alpha=0.7, lw=1)
+        axes[1, 0].plot(t, masked("angular_velocity", ep), alpha=0.7, lw=1)
+    axes[0, 0].set_title(f"Altitude (m) — first {n} episodes")
+    axes[0, 1].set_title("Tilt (deg)")
+    axes[0, 1].axhline(30, color="k", ls="--", lw=0.8, label="termination 30°")
+    axes[0, 1].legend()
+    axes[1, 0].set_title("|ω| (rad/s)")
+    acts = np.asarray(series["action"])[:, 0, :]
+    m0 = live[:, 0] > 0.5
+    acts = np.where(m0[:, None], acts, np.nan)
+    axes[1, 1].plot(t, acts[:, 0], label="gimbal pitch", lw=1)
+    axes[1, 1].plot(t, acts[:, 1], label="gimbal yaw", lw=1)
+    axes[1, 1].set_title("Actions (episode 0)")
+    axes[1, 1].set_ylim(-1.05, 1.05)
+    axes[1, 1].legend()
+    for ax in axes.flat:
+        ax.grid(alpha=0.3)
+        ax.set_xlabel("t (s)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def summarize_stats(stats: EpisodeStats) -> dict[str, float]:
     """Host-side aggregation with the reference's percentile set
     (scripts/evaluate.py:75-116: p25/p50/p75/p90/p95)."""
