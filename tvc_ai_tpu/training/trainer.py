@@ -350,6 +350,18 @@ class Trainer:
             summary = loop_mod.summarize(self.carry)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update(summary)
+            # per-episode success over THIS iteration's finished episodes —
+            # summary["success_rate"] is the lifetime cumulative mean, which
+            # buries recent behavior after a slow start
+            ep_delta = summary["episodes"] - self._last_episodes
+            succ_delta = (
+                int(jnp.sum(self.carry.successes)) - self._last_successes
+            )
+            self._last_episodes = summary["episodes"]
+            self._last_successes = int(jnp.sum(self.carry.successes))
+            metrics["success_rate_recent"] = (
+                succ_delta / ep_delta if ep_delta > 0 else 0.0
+            )
             self.logger.log_metrics(self.env_steps, metrics)
             if self.iteration % self.cfg.logging.log_freq_iterations == 0:
                 self.logger.progress_line(
@@ -359,7 +371,7 @@ class Trainer:
                         k: metrics[k]
                         for k in (
                             "reward_mean",
-                            "success_rate",
+                            "success_rate_recent",
                             "critic_loss",
                             "actor_loss",
                             "alpha",
@@ -367,14 +379,6 @@ class Trainer:
                         if k in metrics
                     },
                 )
-
-            # ---- curriculum + hacking from on-device episode deltas
-            ep_delta = summary["episodes"] - self._last_episodes
-            succ_delta = (
-                int(jnp.sum(self.carry.successes)) - self._last_successes
-            )
-            self._last_episodes = summary["episodes"]
-            self._last_successes = int(jnp.sum(self.carry.successes))
             if ep_delta > 0:
                 rate = succ_delta / ep_delta
                 if self.curriculum.update(ep_delta, rate):
