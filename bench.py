@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,7 @@ def main() -> None:
         states, out, _ = batched_step(states, actions, params)
         return (states, key), out.reward
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def run(states, key):
         (states, key), rewards = jax.lax.scan(
             rollout, (states, key), None, length=STEPS_PER_CALL

@@ -335,3 +335,38 @@ def test_sensor_dropout_reachable_from_config():
     assert float(params.randomization.sensor_dropout_prob) == pytest.approx(0.01)
     assert params.rocket.magnus_effect is True
     assert params.rocket.ground_effect is True
+
+
+def test_dr_prob_mixture():
+    """dr_prob gates the hard physical axes per episode: at 0.5 roughly half
+    the draws are nominal physics; dither axes (noise level, progress slope)
+    stay randomized either way. Keeps the success-signal dense while
+    training robustness (see RandomizationConfig.dr_prob)."""
+    from tvc_ai_tpu.env.randomization import sample_domain_params
+    from tvc_ai_tpu.env.types import RandomizationConfig
+    from tvc_ai_tpu.physics.types import RocketParams
+
+    rocket = RocketParams()
+    cfg = RandomizationConfig(
+        enabled=True,
+        sensor_noise_enabled=True,
+        sensor_noise_uniform=True,
+        dr_prob=jnp.float32(0.5),
+        progress_rate_min=jnp.float32(0.5),
+        progress_rate_max=jnp.float32(2.0),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 512)
+    dps = jax.vmap(lambda k: sample_domain_params(k, rocket, cfg))(keys)
+    nominal = np.isclose(np.asarray(dps.mass), float(rocket.mass))
+    frac = nominal.mean()
+    assert 0.4 < frac < 0.6
+    # nominal-physics episodes still draw noise/progress dither
+    assert np.asarray(dps.sensor_noise_std)[nominal].std() > 1e-3
+    assert np.asarray(dps.progress_rate)[nominal].std() > 0.1
+    # wind/cg/thrust also nominal on those draws
+    assert np.allclose(np.asarray(dps.wind)[nominal], 0.0)
+    assert np.allclose(np.asarray(dps.thrust_scale)[nominal], 1.0)
+    # dr_prob=1 (default) -> every draw randomized
+    cfg_full = RandomizationConfig(enabled=True)
+    dps_full = jax.vmap(lambda k: sample_domain_params(k, rocket, cfg_full))(keys)
+    assert (~np.isclose(np.asarray(dps_full.mass), float(rocket.mass))).mean() > 0.95

@@ -60,6 +60,7 @@ def build_env_params(
         ),
         init_omega_max=jnp.float32(dr.init_omega_max),
         init_pos_jitter=jnp.float32(dr.init_pos_jitter),
+        dr_prob=jnp.float32(dr.dr_prob),
         progress_rate_min=jnp.float32(dr.progress_rate_min),
         progress_rate_max=jnp.float32(dr.progress_rate_max),
         actuator_delay=dr.actuator_delay,

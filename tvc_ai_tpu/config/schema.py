@@ -343,6 +343,11 @@ class TrainingConfig:
     # noise diversifies episodes into a meaningful statistic. False matches
     # the reference's sterile make_evaluation_env default.
     eval_sensor_noise: bool = False
+    # keep domain randomization ON in the trainer's eval env (default off =
+    # the reference's make_evaluation_env(domain_randomization=False)); turn
+    # on to make best-checkpoint capture track ROBUST success — under DR the
+    # nominal-eval metric and the robustness-suite score diverge sharply
+    eval_domain_randomization: bool = False
     early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
     checkpointing: CheckpointConfig = field(default_factory=CheckpointConfig)
 
@@ -358,6 +363,9 @@ class DomainRandomizationConfig:
     cg_offset_max: float = 0.1
     wind_max: float = 3.0
     sensor_noise_std: float = 0.02
+    # easy/hard episode mixture: probability the hard physical axes (mass/
+    # thrust/CG/wind) are randomized per episode (env/types.py dr_prob)
+    dr_prob: float = 1.0
     # per-episode progress-slope randomization (1.0/1.0 = off); see
     # env/types.py RandomizationConfig.progress_rate_*
     progress_rate_min: float = 1.0

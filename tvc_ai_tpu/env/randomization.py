@@ -43,7 +43,11 @@ def sample_domain_params(
     progress_rate = jax.random.uniform(
         k_prog, (), minval=cfg.progress_rate_min, maxval=cfg.progress_rate_max
     )
-    k_mass, k_thrust, k_cg, k_wind = jax.random.split(key, 4)
+    k_mass, k_thrust, k_cg, k_wind, k_mix = jax.random.split(key, 5)
+    # easy/hard mixture gate on the hard physical axes (see
+    # RandomizationConfig.dr_prob); dither axes (noise level, progress
+    # slope, initial state) stay active either way
+    hard = jax.random.uniform(k_mix, ()) < cfg.dr_prob
     mass = rocket.mass * (
         1.0
         + jax.random.uniform(
@@ -64,10 +68,10 @@ def sample_domain_params(
     )
     wind = jnp.concatenate([wind_xy, jnp.zeros(1)])
     return DomainParams(
-        mass=mass.astype(jnp.float32),
-        thrust_scale=thrust_scale.astype(jnp.float32),
-        cg_offset=cg_offset.astype(jnp.float32),
-        wind=wind.astype(jnp.float32),
+        mass=jnp.where(hard, mass, rocket.mass).astype(jnp.float32),
+        thrust_scale=jnp.where(hard, thrust_scale, 1.0).astype(jnp.float32),
+        cg_offset=jnp.where(hard, cg_offset, 0.0).astype(jnp.float32),
+        wind=jnp.where(hard, wind, 0.0).astype(jnp.float32),
         sensor_noise_std=noise_std,
         progress_rate=progress_rate.astype(jnp.float32),
     )

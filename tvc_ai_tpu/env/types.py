@@ -77,6 +77,15 @@ class RandomizationConfig:
     cg_offset_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
     wind_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0))
     sensor_noise_std: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.02))
+    # per-episode probability that the HARD physical axes (mass, thrust,
+    # CG offset, wind) are randomized; the rest of the episodes draw nominal
+    # physics (noise/progress dither still applies). Under full DR the
+    # success criterion is so rarely met by stochastic training rollouts
+    # that the success-seeking learning signal starves (measured ~0.1%
+    # train-episode success while nominal evals oscillate 30-90%); an
+    # easy/hard mixture keeps the signal dense while still training
+    # robustness. 1.0 = always randomized (default).
+    dr_prob: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
     # per-episode IMU-noise-level randomization: σ ~ U[0, sensor_noise_std]
     # instead of the fixed σ. Covers the sterile (σ=0) and full-noise worlds
     # with ONE policy — a fixed-σ-trained policy sees noise-free inputs as

@@ -109,7 +109,9 @@ class Trainer:
         import copy
 
         eval_cfg = copy.deepcopy(cfg)
-        eval_cfg.env.domain_randomization.enabled = False
+        eval_cfg.env.domain_randomization.enabled = (
+            cfg.training.eval_domain_randomization
+        )
         eval_cfg.env.domain_randomization.sensor_noise_enabled = (
             cfg.training.eval_sensor_noise
         )
