@@ -25,6 +25,9 @@ def main() -> int:
     parser.add_argument("--suite", choices=["standard", "robustness", "stress",
                                             "all"], default="all")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--history", type=int, default=1,
+                        help="history_len the agent was trained with "
+                             "(network.history_len)")
     parser.add_argument("--trajectories", type=int, default=0,
                         help="record N standard-suite episode trajectories "
                              "and save a per-episode trajectory plot")
@@ -49,7 +52,7 @@ def main() -> int:
 
     sac_cfg = SACConfig(hidden_dims=tuple(args.hidden))
     agent_state = load_agent_state(
-        args.model_path, args.obs_dim, args.action_dim, sac_cfg
+        args.model_path, args.obs_dim * args.history, args.action_dim, sac_cfg
     )
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -58,13 +61,13 @@ def main() -> int:
     if args.suite == "all":
         results = run_all_suites(
             agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
-            args.rocket_mass,
+            args.rocket_mass, args.history,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
-            args.rocket_mass,
+            args.rocket_mass, args.history,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}
@@ -75,7 +78,8 @@ def main() -> int:
         import jax
 
         traj_fn = jax.jit(make_trajectory_fn(
-            sac_cfg, args.trajectories, args.action_dim, obs_dim
+            sac_cfg, args.trajectories, args.action_dim, obs_dim,
+            history_len=args.history,
         ))
         series = traj_fn(
             agent_state,

@@ -73,10 +73,13 @@ def run_suite(
     seed: int = 0,
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
+    history_len: int = 1,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
     env_params = _suite_env_params(name, rocket_mass)
-    eval_fn = jax.jit(make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim))
+    eval_fn = jax.jit(
+        make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim, history_len=history_len)
+    )
     stats = eval_fn(agent_state, jax.random.PRNGKey(seed), env_params)
     metrics = summarize_stats(stats)  # includes eval_legacy_success_rate
     return SuiteResult(name=name, stats=stats, metrics=metrics)
@@ -90,6 +93,7 @@ def run_all_suites(
     seed: int = 0,
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
+    history_len: int = 1,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -97,7 +101,8 @@ def run_all_suites(
     for name in ("standard", "robustness", "stress"):
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
         result = run_suite(
-            agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass
+            agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass,
+            history_len,
         )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")

@@ -109,13 +109,27 @@ class Trainer:
         import copy
 
         eval_cfg = copy.deepcopy(cfg)
-        eval_cfg.env.domain_randomization.enabled = (
-            cfg.training.eval_domain_randomization
-        )
+        eval_cfg.env.domain_randomization.enabled = False
         eval_cfg.env.domain_randomization.sensor_noise_enabled = (
             cfg.training.eval_sensor_noise
         )
         self.eval_env_params = build_env_params(eval_cfg)
+        # optional second eval under FULL domain randomization
+        # (training.eval_domain_randomization): reported as eval_robust_*;
+        # curriculum promotion stays nominal-driven, while best-checkpoint
+        # capture can select it via early_stopping.metric. dr_prob is forced
+        # to 1 — an inherited easy/hard training mixture would silently
+        # inflate "robust" success with nominal episodes (measured: 51.6%
+        # mixture-eval vs 0% true-DR suite)
+        self.robust_eval_env_params = None
+        if cfg.training.eval_domain_randomization:
+            robust_cfg = copy.deepcopy(cfg)
+            robust_cfg.env.domain_randomization.enabled = True
+            robust_cfg.env.domain_randomization.dr_prob = 1.0
+            robust_cfg.env.domain_randomization.sensor_noise_enabled = (
+                cfg.training.eval_sensor_noise
+            )
+            self.robust_eval_env_params = build_env_params(robust_cfg)
 
         # ---- device program(s)
         self.devices = jax.devices()
@@ -444,12 +458,19 @@ class Trainer:
                 with self.timer.stage("evaluate"):
                     eval_metrics = self.evaluate()
                 self.logger.log_metrics(self.env_steps, eval_metrics)
+                robust_part = (
+                    " robust %.2f%%"
+                    % (100 * eval_metrics["eval_robust_success_rate"])
+                    if "eval_robust_success_rate" in eval_metrics
+                    else ""
+                )
                 self.logger.info(
-                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%",
+                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%%s",
                     f"{self.env_steps:,}",
                     100 * eval_metrics["eval_success_rate"],
                     eval_metrics["eval_reward_mean"],
                     100 * eval_metrics["eval_crash_rate"],
+                    robust_part,
                 )
                 # eval-driven curriculum promotion (the reference's signal:
                 # curriculum_manager.py:248 takes eval_metrics; training-
@@ -512,4 +533,15 @@ class Trainer:
         if self.loop_cfg.use_hierarchical:
             agent = (agent, jax.device_get(self.carry.hier))
         stats = self._eval_fn(agent, self._next_key(), self.eval_env_params)
-        return summarize_stats(stats)
+        metrics = summarize_stats(stats)
+        if self.robust_eval_env_params is not None:
+            robust = summarize_stats(
+                self._eval_fn(
+                    agent, self._next_key(), self.robust_eval_env_params
+                )
+            )
+            metrics.update(
+                {k.replace("eval_", "eval_robust_", 1): v
+                 for k, v in robust.items()}
+            )
+        return metrics
