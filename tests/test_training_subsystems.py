@@ -321,3 +321,39 @@ def test_curriculum_eval_driven_promotion():
     cm2.load_state_dict(d)
     assert list(cm2.eval_window) == list(cm.eval_window)
     assert cm2.stage.name == cm.stage.name
+
+
+def test_curriculum_stage_overlays_hard_axes_and_dwell():
+    """Stage overlays for thrust/cg/dr_prob (the axes the reference's stage
+    schema omits) reach EnvParams, and min_stage_steps gates eval-driven
+    promotion until the stage has actually been trained."""
+    import dataclasses
+
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.config.schema import CurriculumStage
+
+    cfg = FrameworkConfig()
+    stage = CurriculumStage(
+        name="s", thrust_variation=0.15, cg_offset_max=0.03, dr_prob=0.7
+    )
+    p = build_env_params(cfg, stage)
+    assert float(p.randomization.thrust_variation) == pytest.approx(0.15)
+    assert float(p.randomization.cg_offset_max) == pytest.approx(0.03)
+    assert float(p.randomization.dr_prob) == pytest.approx(0.7)
+    # None fields inherit the base DR config
+    stage2 = CurriculumStage(name="s2")
+    p2 = build_env_params(cfg, stage2)
+    dr = cfg.env.domain_randomization
+    assert float(p2.randomization.thrust_variation) == pytest.approx(
+        dr.thrust_variation
+    )
+    assert float(p2.randomization.cg_offset_max) == pytest.approx(dr.cg_offset_max)
+
+    # dwell gate
+    cfg2 = FrameworkConfig()
+    cfg2.curriculum = dataclasses.replace(cfg2.curriculum, min_stage_steps=1000)
+    cm = CurriculumManager(cfg2)
+    for _ in range(5):
+        assert not cm.update_eval(1.0)  # above threshold but no dwell yet
+    cm.update(episodes_finished=10, success_rate=1.0, env_steps=1000)
+    assert cm.update_eval(1.0)  # dwell satisfied -> promotes

@@ -49,8 +49,16 @@ def build_env_params(
         mass_variation=jnp.float32(
             stage.mass_variation if stage else dr.mass_variation
         ),
-        thrust_variation=jnp.float32(dr.thrust_variation),
-        cg_offset_max=jnp.float32(dr.cg_offset_max),
+        thrust_variation=jnp.float32(
+            stage.thrust_variation
+            if stage and stage.thrust_variation is not None
+            else dr.thrust_variation
+        ),
+        cg_offset_max=jnp.float32(
+            stage.cg_offset_max
+            if stage and stage.cg_offset_max is not None
+            else dr.cg_offset_max
+        ),
         wind_max=jnp.float32(stage.wind_force if stage else dr.wind_max),
         sensor_noise_std=jnp.float32(
             stage.sensor_noise if stage else dr.sensor_noise_std
@@ -60,7 +68,11 @@ def build_env_params(
         ),
         init_omega_max=jnp.float32(dr.init_omega_max),
         init_pos_jitter=jnp.float32(dr.init_pos_jitter),
-        dr_prob=jnp.float32(dr.dr_prob),
+        dr_prob=jnp.float32(
+            stage.dr_prob
+            if stage and stage.dr_prob is not None
+            else dr.dr_prob
+        ),
         progress_rate_min=jnp.float32(dr.progress_rate_min),
         progress_rate_max=jnp.float32(dr.progress_rate_max),
         actuator_delay=dr.actuator_delay,

@@ -270,6 +270,13 @@ class CurriculumStage:
     sensor_noise: float = 0.0
     gimbal_limit_scale: float = 1.0
     success_threshold: float = 0.7
+    # optional overlays for the axes the reference's stage schema omits
+    # (None = inherit env.domain_randomization). CG offset is the dominant
+    # failure axis for this task (scripts/ablate_dr.py finding), so a
+    # curriculum that can't ramp it ramps around the real difficulty.
+    thrust_variation: float | None = None
+    cg_offset_max: float | None = None
+    dr_prob: float | None = None
 
 
 def default_stages() -> list[CurriculumStage]:
@@ -290,6 +297,11 @@ class CurriculumConfig:
     success_threshold: float = 0.8
     stability_window: int = 100
     min_stage_fraction: float = 0.5  # must run ≥50% of stage before advancing
+    # minimum env steps per stage before eval-driven promotion may fire —
+    # without a dwell, a policy whose NOMINAL evals lag the new difficulty
+    # sails through every stage in a few evals and lands on full difficulty
+    # unprepared (measured: all stages promoted in 90 s, then collapse)
+    min_stage_steps: int = 0
     stages: list[CurriculumStage] = field(default_factory=default_stages)
 
 

@@ -29,6 +29,7 @@ class CurriculumManager:
         self.cur: CurriculumConfig = cfg.curriculum
         self.stage_idx = 0
         self.episodes_in_stage = 0
+        self.steps_in_stage = 0
         self.success_window: deque[float] = deque(maxlen=self.cur.stability_window)
         # deterministic-eval success window (the reference drives promotion
         # from eval_metrics, curriculum_manager.py:248 — training-rollout
@@ -70,16 +71,20 @@ class CurriculumManager:
         return schedule[tier]
 
     # ------------------------------------------------------------ updates
-    def update(self, episodes_finished: int, success_rate: float) -> bool:
+    def update(
+        self, episodes_finished: int, success_rate: float, env_steps: int = 0
+    ) -> bool:
         """Feed rolling stats; returns True if the stage advanced.
 
         Signature fixed vs the reference's step/success_rate confusion:
         callers pass the number of episodes finished since last update and
-        the success rate over them.
+        the success rate over them (plus optionally env steps elapsed, which
+        feeds the ``min_stage_steps`` promotion dwell).
         """
         if not self.enabled or self.finished:
             return False
         self.episodes_in_stage += int(episodes_finished)
+        self.steps_in_stage += int(env_steps)
         if episodes_finished > 0:
             self.success_window.append(float(success_rate))
         if self.should_advance_stage():
@@ -101,6 +106,8 @@ class CurriculumManager:
         if not self.enabled or self.finished:
             return False
         self.eval_window.append(float(eval_success_rate))
+        if self.steps_in_stage < self.cur.min_stage_steps:
+            return False  # dwell: must actually train at this difficulty
         if len(self.eval_window) >= 3:
             if max(self.eval_window) >= self.stage.success_threshold:
                 self.advance_stage()
@@ -138,6 +145,7 @@ class CurriculumManager:
         )
         self.stage_idx += 1
         self.episodes_in_stage = 0
+        self.steps_in_stage = 0
         self.success_window.clear()
         self.eval_window.clear()
 
@@ -146,6 +154,7 @@ class CurriculumManager:
         return {
             "stage_idx": self.stage_idx,
             "episodes_in_stage": self.episodes_in_stage,
+            "steps_in_stage": self.steps_in_stage,
             "success_window": list(self.success_window),
             "eval_window": list(self.eval_window),
             "history": self.history,
@@ -154,6 +163,7 @@ class CurriculumManager:
     def load_state_dict(self, d: dict) -> None:
         self.stage_idx = int(d.get("stage_idx", 0))
         self.episodes_in_stage = int(d.get("episodes_in_stage", 0))
+        self.steps_in_stage = int(d.get("steps_in_stage", 0))
         self.success_window = deque(
             d.get("success_window", []), maxlen=self.cur.stability_window
         )

@@ -186,7 +186,13 @@ class Trainer:
         self.ckpt_best = CheckpointManager(
             self.output_dir / "checkpoints_best", max_to_keep=2
         )
+        # secondary best-nominal manager, used when the primary metric is a
+        # different one (e.g. eval_robust_success_rate)
+        self.ckpt_best_nominal = CheckpointManager(
+            self.output_dir / "checkpoints_best_nominal", max_to_keep=2
+        )
         self.best_metric = float("-inf")
+        self.best_nominal_metric = float("-inf")
         self.eval_rounds_since_improvement = 0
         self.iteration = 0
         self._last_episodes = 0
@@ -204,6 +210,7 @@ class Trainer:
         return {
             "iteration": self.iteration,
             "best_metric": self.best_metric,
+            "best_nominal_metric": self.best_nominal_metric,
             "curriculum": self.curriculum.state_dict(),
             "stability": self.stability.state_dict(),
             "last_episodes": self._last_episodes,
@@ -274,6 +281,11 @@ class Trainer:
             # inherited from a different eval regime (e.g. sterile → noisy)
             # would silently suppress all best saves — start best tracking anew
             self.best_metric = float("-inf")
+        self.best_nominal_metric = float(
+            host.get("best_nominal_metric", float("-inf"))
+        )
+        if self.ckpt_best_nominal.latest_step() is None:
+            self.best_nominal_metric = float("-inf")
         self.curriculum.load_state_dict(host.get("curriculum", {}))
         self.stability.load_state_dict(host.get("stability", {}))
         self._last_episodes = int(host.get("last_episodes", 0))
@@ -329,6 +341,7 @@ class Trainer:
             )
         self.ckpt.wait()
         self.ckpt_best.wait()
+        self.ckpt_best_nominal.wait()
         result = {
             "env_steps": self.env_steps,
             "iterations": self.iteration,
@@ -395,16 +408,18 @@ class Trainer:
                         if k in metrics
                     },
                 )
-            if ep_delta > 0:
-                rate = succ_delta / ep_delta
-                if self.curriculum.update(ep_delta, rate):
-                    stage = self.curriculum.get_environment_config()
-                    self.env_params = build_env_params(self.cfg, stage)
-                    self.logger.info(
-                        "curriculum advanced to stage %d (%s)",
-                        self.curriculum.stage_idx,
-                        stage.name if stage else "graduated",
-                    )
+            steps_per_iter = (
+                self.loop_cfg.num_envs * self.loop_cfg.rollout_steps
+            )
+            rate = succ_delta / ep_delta if ep_delta > 0 else 0.0
+            if self.curriculum.update(ep_delta, rate, steps_per_iter):
+                stage = self.curriculum.get_environment_config()
+                self.env_params = build_env_params(self.cfg, stage)
+                self.logger.info(
+                    "curriculum advanced to stage %d (%s)",
+                    self.curriculum.stage_idx,
+                    stage.name if stage else "graduated",
+                )
             # drain the on-device episode ring: the detector gets real
             # per-episode (return, length, success) samples in completion
             # order — the 100-episode-window semantics of the reference
@@ -486,6 +501,26 @@ class Trainer:
                         "curriculum advanced to stage %d (%s) [eval-driven]",
                         self.curriculum.stage_idx,
                         stage.name if stage else "graduated",
+                    )
+                # secondary best-capture: when the primary metric is the
+                # robust one, ALSO keep the best-nominal checkpoint (under
+                # DR training the two diverge sharply, and the robust metric
+                # staying at 0 would otherwise discard every nominal peak —
+                # measured loss of a 100%-nominal policy that way)
+                if (
+                    cfg.early_stopping.metric != "eval_success_rate"
+                    and cfg.checkpointing.save_best
+                    and eval_metrics["eval_success_rate"]
+                    > self.best_nominal_metric
+                ):
+                    self.best_nominal_metric = eval_metrics["eval_success_rate"]
+                    with self.timer.stage("checkpoint"):
+                        self.ckpt_best_nominal.save(
+                            self.env_steps, self.carry, self._host_state()
+                        )
+                    self.logger.info(
+                        "new best eval_success_rate=%.3f — nominal checkpoint saved",
+                        self.best_nominal_metric,
                     )
                 metric = eval_metrics.get(
                     cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
