@@ -370,3 +370,41 @@ def test_dr_prob_mixture():
     cfg_full = RandomizationConfig(enabled=True)
     dps_full = jax.vmap(lambda k: sample_domain_params(k, rocket, cfg_full))(keys)
     assert (~np.isclose(np.asarray(dps_full.mass), float(rocket.mass))).mean() > 0.95
+
+
+def test_terminate_on_success_flag():
+    """terminate_on_success=False (training-incentive mode): the episode
+    continues after mission success; the sticky flag still records it, and
+    the survival payout is still paid exactly once. Default True = parity."""
+    import dataclasses as dc
+
+    from tvc_ai_tpu.env.types import SuccessConfig, TerminationConfig
+
+    easy = SuccessConfig(
+        max_tilt_angle=jnp.float32(1.0),
+        max_angular_velocity=jnp.float32(10.0),
+        max_horizontal_velocity=jnp.float32(10.0),
+        max_vertical_velocity=jnp.float32(10.0),
+        min_altitude=jnp.float32(0.0),
+        max_altitude=jnp.float32(10.0),
+        success_duration=1,
+    )
+    base = EnvParams(success=easy)
+    cont = dc.replace(
+        base, termination=TerminationConfig(terminate_on_success=False)
+    )
+    s0, _ = rocket_env.reset(jax.random.PRNGKey(0), base)
+    _, out_term = rocket_env.step(s0, jnp.zeros(2), base)
+    assert bool(out_term.mission_success) and bool(out_term.terminated)
+    s1, out_cont = rocket_env.step(s0, jnp.zeros(2), cont)
+    assert bool(out_cont.mission_success) and not bool(out_cont.terminated)
+    # continues and keeps the sticky flag
+    s2, out_next = rocket_env.step(s1, jnp.zeros(2), cont)
+    assert bool(out_next.mission_success)
+    # config-reachable
+    from tvc_ai_tpu.config import load_config
+    from tvc_ai_tpu.config.build import build_env_params
+
+    cfg = load_config(None, overrides=["mission_success.terminate_on_success=false"])
+    assert build_env_params(cfg).termination.terminate_on_success is False
+    assert build_env_params(load_config(None)).termination.terminate_on_success is True

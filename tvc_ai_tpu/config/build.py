@@ -107,6 +107,7 @@ def build_env_params(
     )
     sc = cfg.safety.constraints
     termination = TerminationConfig(
+        terminate_on_success=cfg.mission_success.terminate_on_success,
         crash_altitude=jnp.float32(sc.min_altitude),
         max_tilt=jnp.float32(sc.max_tilt),
         max_altitude=jnp.float32(sc.max_altitude),

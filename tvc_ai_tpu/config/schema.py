@@ -235,6 +235,10 @@ class MissionSuccessSection:
     min_altitude: float = 0.2
     max_altitude: float = 2.0
     success_duration: int = 100
+    # end the episode on mission success (env/types.py TerminationConfig.
+    # terminate_on_success; default True = reference parity, False is the
+    # training-incentive mode where the success payout is purely additive)
+    terminate_on_success: bool = True
 
 
 @dataclass

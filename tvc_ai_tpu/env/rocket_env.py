@@ -230,10 +230,16 @@ def step(
             0.0,
         )
 
-    # 7. termination with POST-update success flag (ref :697-721)
+    # 7. termination with POST-update success flag (ref :697-721);
+    # success terminates only when terminate_on_success (default = parity)
     horiz_dist = jnp.linalg.norm(body.pos[:2])
-    terminated = (
+    success_term = (
         mission_success
+        if params.termination.terminate_on_success
+        else jnp.bool_(False)
+    )
+    terminated = (
+        success_term
         | crashed
         | (tilt > params.termination.max_tilt)
         | (altitude > params.termination.max_altitude)

@@ -178,6 +178,16 @@ class RewardConfig:
 class TerminationConfig:
     """Termination thresholds (ref _check_termination :697-721, crash at :632)."""
 
+    # Terminate the episode when mission success is achieved (ref :703 —
+    # default True = parity). False is a TRAINING-incentive mode: the
+    # episode continues after success, so the success payout is purely
+    # additive and succeeding strictly dominates hover-farming by
+    # construction — terminating on success makes its value compete with
+    # the forgone per-step income, a contest a sparse high-variance payout
+    # loses under TD learning (measured: repeated convergence to
+    # edge-hovering under domain randomization). Evaluation counts the
+    # sticky mission_success flag either way, so the criterion is unchanged.
+    terminate_on_success: bool = struct.field(pytree_node=False, default=True)
     crash_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.1))
     max_tilt: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.52))
     max_altitude: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(20.0))
