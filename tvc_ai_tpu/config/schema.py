@@ -429,8 +429,15 @@ class StabilitySection:
     scheduler_type: str = "warmup_cosine"
     enable_plasticity_preservation: bool = True
     dormant_check_interval: int = 5000
-    enable_primacy_mitigation: bool = True
-    reset_interval: int = 50_000
+    # Default OFF = behavioral parity: the reference's stability manager is
+    # initialized but never stepped (SURVEY §2.5). Measured when on at the
+    # reference's 50k interval: the counter is gradient updates, so at 512
+    # envs × 16 updates/step the 5% random weight re-mix fires every ~1.6M
+    # env steps (~every 30 s of training) and repeatedly knocks a
+    # knife-edge policy into the hover-farming basin — the root cause of a
+    # whole campaign of mysterious mid-training collapses (RESULTS.md r2).
+    enable_primacy_mitigation: bool = False
+    reset_interval: int = 2_000_000
     reset_ratio: float = 0.05
     adaptive_tau: bool = False
     hacking_stop_threshold: float = 0.9
