@@ -243,6 +243,7 @@ def test_progress_rate_randomization():
         thrust_variation=jnp.float32(0.0),
         cg_offset_max=jnp.float32(0.0),
         wind_max=jnp.float32(0.0),
+        progress_rate_randomized=True,
         progress_rate_min=jnp.float32(0.5),
         progress_rate_max=jnp.float32(2.0),
     )
@@ -298,7 +299,7 @@ def test_sensor_dropout_holds_last_imu():
     from tvc_ai_tpu.env.types import RandomizationConfig as RC
 
     drop = EnvParams(
-        randomization=RC(sensor_dropout_prob=jnp.float32(1.0))
+        randomization=RC(sensor_dropout_enabled=True, sensor_dropout_prob=jnp.float32(1.0))
     )
     state, obs0 = rocket_env.reset(jax.random.PRNGKey(5), drop)
     hard = jnp.array([1.0, 0.3])
@@ -352,6 +353,8 @@ def test_dr_prob_mixture():
         sensor_noise_enabled=True,
         sensor_noise_uniform=True,
         dr_prob=jnp.float32(0.5),
+        dr_mixture_enabled=True,
+        progress_rate_randomized=True,
         progress_rate_min=jnp.float32(0.5),
         progress_rate_max=jnp.float32(2.0),
     )

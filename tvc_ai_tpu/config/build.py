@@ -73,9 +73,15 @@ def build_env_params(
             if stage and stage.dr_prob is not None
             else dr.dr_prob
         ),
+        dr_mixture_enabled=(
+            stage.dr_prob if stage and stage.dr_prob is not None else dr.dr_prob
+        )
+        < 1.0,
+        progress_rate_randomized=dr.progress_rate_min != dr.progress_rate_max,
         progress_rate_min=jnp.float32(dr.progress_rate_min),
         progress_rate_max=jnp.float32(dr.progress_rate_max),
         actuator_delay=dr.actuator_delay,
+        sensor_dropout_enabled=dr.sensor_dropout_prob > 0.0,
         sensor_dropout_prob=jnp.float32(dr.sensor_dropout_prob),
     )
     ms = cfg.mission_success

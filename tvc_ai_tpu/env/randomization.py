@@ -27,7 +27,15 @@ def sample_domain_params(
     wind: normal σ=wind_max/2 clipped to ±wind_max per horizontal axis;
     sensor noise σ fixed from config.
     """
-    k_noise, k_prog, key = jax.random.split(key, 3)
+    if cfg.progress_rate_randomized:
+        k_noise, k_prog, key = jax.random.split(key, 3)
+        progress_rate = jax.random.uniform(
+            k_prog, (),
+            minval=cfg.progress_rate_min, maxval=cfg.progress_rate_max,
+        )
+    else:
+        k_noise, key = jax.random.split(key)
+        progress_rate = jnp.float32(1.0)
     noise_std = (
         jnp.asarray(cfg.sensor_noise_std, jnp.float32)
         if cfg.sensor_noise_enabled
@@ -37,17 +45,11 @@ def sample_domain_params(
         # per-episode noise level: σ ~ U[0, sensor_noise_std]
         noise_std = noise_std * jax.random.uniform(k_noise, ())
     if not cfg.enabled:
-        return DomainParams.nominal(rocket).replace(sensor_noise_std=noise_std)
+        return DomainParams.nominal(rocket).replace(
+            sensor_noise_std=noise_std, progress_rate=progress_rate
+        )
 
-    # progress-slope randomization (see RandomizationConfig.progress_rate_*)
-    progress_rate = jax.random.uniform(
-        k_prog, (), minval=cfg.progress_rate_min, maxval=cfg.progress_rate_max
-    )
     k_mass, k_thrust, k_cg, k_wind, k_mix = jax.random.split(key, 5)
-    # easy/hard mixture gate on the hard physical axes (see
-    # RandomizationConfig.dr_prob); dither axes (noise level, progress
-    # slope, initial state) stay active either way
-    hard = jax.random.uniform(k_mix, ()) < cfg.dr_prob
     mass = rocket.mass * (
         1.0
         + jax.random.uniform(
@@ -67,11 +69,20 @@ def sample_domain_params(
         cfg.wind_max,
     )
     wind = jnp.concatenate([wind_xy, jnp.zeros(1)])
+    if cfg.dr_mixture_enabled:
+        # easy/hard mixture gate on the hard physical axes (see
+        # RandomizationConfig.dr_prob); dither axes (noise level, progress
+        # slope, initial state) stay active either way
+        hard = jax.random.uniform(k_mix, ()) < cfg.dr_prob
+        mass = jnp.where(hard, mass, rocket.mass)
+        thrust_scale = jnp.where(hard, thrust_scale, 1.0)
+        cg_offset = jnp.where(hard, cg_offset, 0.0)
+        wind = jnp.where(hard, wind, 0.0)
     return DomainParams(
-        mass=jnp.where(hard, mass, rocket.mass).astype(jnp.float32),
-        thrust_scale=jnp.where(hard, thrust_scale, 1.0).astype(jnp.float32),
-        cg_offset=jnp.where(hard, cg_offset, 0.0).astype(jnp.float32),
-        wind=jnp.where(hard, wind, 0.0).astype(jnp.float32),
+        mass=mass.astype(jnp.float32),
+        thrust_scale=thrust_scale.astype(jnp.float32),
+        cg_offset=cg_offset.astype(jnp.float32),
+        wind=wind.astype(jnp.float32),
         sensor_noise_std=noise_std,
         progress_rate=progress_rate.astype(jnp.float32),
     )

@@ -64,25 +64,39 @@ def _observe(
     steps. Returns ``(obs, imu)`` where ``imu`` is the presented 7-channel
     [quat, ω] reading to carry as the next ``prev_imu``.
     """
-    kq, kw, kd = jax.random.split(noise_key, 3)
+    use_dropout = (
+        params.randomization.sensor_dropout_enabled and prev_imu is not None
+    )
+    if use_dropout:
+        kq, kw, kd = jax.random.split(noise_key, 3)
+    else:
+        kq, kw = jax.random.split(noise_key)
     q = state_body.quat + jax.random.normal(kq, (4,)) * noise_std
     q = quat.normalize(q)
     w = state_body.omega + jax.random.normal(kw, (3,)) * noise_std
-    imu = jnp.concatenate([q, w]).astype(jnp.float32)
-    if prev_imu is not None:
-        drop = jax.random.bernoulli(
-            kd, params.randomization.sensor_dropout_prob
-        )
-        imu = jnp.where(drop, prev_imu, imu)
     phase_value = phase.astype(jnp.float32) / NUM_PHASES
     progress = jnp.minimum(
         1.0,
         step_count.astype(jnp.float32) * progress_rate / params.max_episode_steps,
     )
+    if use_dropout:
+        imu = jnp.concatenate([q, w]).astype(jnp.float32)
+        drop = jax.random.bernoulli(
+            kd, params.randomization.sensor_dropout_prob
+        )
+        imu = jnp.where(drop, prev_imu, imu)
+        obs = jnp.concatenate(
+            [imu, fuel[None], phase_value[None], progress[None]]
+        ).astype(jnp.float32)
+        return obs, imu
     obs = jnp.concatenate(
-        [imu, fuel[None], phase_value[None], progress[None]]
+        [q, w, fuel[None], phase_value[None], progress[None]]
     ).astype(jnp.float32)
-    return obs, imu
+    # single concatenate; the carried IMU reading is a slice of it (a slice,
+    # not a fresh constant: under shard_map a constant would be unvarying
+    # over the mesh axis and break the scan carry type; a zero-size array
+    # would be cheaper still but orbax refuses to checkpoint empty arrays)
+    return obs, obs[:7]
 
 
 def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:

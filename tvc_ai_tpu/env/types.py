@@ -86,6 +86,9 @@ class RandomizationConfig:
     # easy/hard mixture keeps the signal dense while still training
     # robustness. 1.0 = always randomized (default).
     dr_prob: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    # static gate for the mixture draw (set when dr_prob < 1): lets XLA
+    # compile the per-reset Bernoulli + selects away in the common case
+    dr_mixture_enabled: bool = struct.field(pytree_node=False, default=False)
     # per-episode IMU-noise-level randomization: σ ~ U[0, sensor_noise_std]
     # instead of the fixed σ. Covers the sterile (σ=0) and full-noise worlds
     # with ONE policy — a fixed-σ-trained policy sees noise-free inputs as
@@ -95,7 +98,10 @@ class RandomizationConfig:
     # injection — spec'd in the reference's GUIDE/Config-guide/
     # CONFIG_GUIDE.md:93-96 ``sensor_dropout_prob`` but never implemented
     # there): on a dropout step the policy sees the PREVIOUS quat/ω reading
-    # (hold-last, like a real IMU packet drop). 0.0 = off.
+    # (hold-last, like a real IMU packet drop). The static enable flag lets
+    # XLA compile the Bernoulli draw out of the hot path entirely when off
+    # (a traced prob alone costs ~5% env throughput at 4096 envs).
+    sensor_dropout_enabled: bool = struct.field(pytree_node=False, default=False)
     sensor_dropout_prob: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.0)
     )
@@ -103,7 +109,11 @@ class RandomizationConfig:
     # resets deterministically to [0,0,1] + identity, ref :381-407,:438)
     # per-episode progress-slope randomization: progress_rate ~ U[min, max]
     # (1.0/1.0 = off). Train with e.g. [0.5, 2.0] so the 1500/2000-step eval
-    # horizons' slower progress slopes are in-distribution.
+    # horizons' slower progress slopes are in-distribution. The static gate
+    # (set when min != max) compiles the draw away when unused — under
+    # branchless autoreset the sampler runs EVERY env step, so dead draws
+    # cost real throughput.
+    progress_rate_randomized: bool = struct.field(pytree_node=False, default=False)
     progress_rate_min: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
     progress_rate_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
     init_tilt_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
