@@ -77,6 +77,14 @@ def main() -> int:
         default=None,
         help="also capture a jax.profiler device trace of one train iteration",
     )
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        help="extra dotted config overrides (repeatable), e.g. "
+             "--set algorithms.sac.compute_dtype=bfloat16",
+    )
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -98,7 +106,9 @@ def main() -> int:
     device = jax.devices()[0]
     print(f"device: {device.device_kind}", file=sys.stderr)
 
-    cfg = load_config(None, overrides=["algorithms.sac.batch_size=1024"])
+    cfg = load_config(
+        None, overrides=["algorithms.sac.batch_size=1024"] + args.overrides
+    )
     sac_cfg = build_sac_config(cfg)
     loop_cfg = build_loop_config(cfg)
     env_params = build_env_params(cfg)

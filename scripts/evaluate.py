@@ -33,6 +33,10 @@ def main() -> int:
                              "and save a per-episode trajectory plot")
     parser.add_argument("--rocket_mass", type=float, default=2.0,
                         help="suite nominal mass (1.5 = legacy-gen policies)")
+    parser.add_argument("--trim_obs", action="store_true",
+                        help="enable the 4 trim-observation channels (obs "
+                             "10→14) for policies trained with "
+                             "env.trim_observation.enabled")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -51,8 +55,9 @@ def main() -> int:
     )
 
     sac_cfg = SACConfig(hidden_dims=tuple(args.hidden))
+    frame_dim = args.obs_dim + (4 if args.trim_obs else 0)
     agent_state = load_agent_state(
-        args.model_path, args.obs_dim * args.history, args.action_dim, sac_cfg
+        args.model_path, frame_dim * args.history, args.action_dim, sac_cfg
     )
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -61,13 +66,13 @@ def main() -> int:
     if args.suite == "all":
         results = run_all_suites(
             agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
-            args.rocket_mass, args.history,
+            args.rocket_mass, args.history, args.trim_obs,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
-            args.rocket_mass, args.history,
+            args.rocket_mass, args.history, args.trim_obs,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}
@@ -84,7 +89,8 @@ def main() -> int:
         series = traj_fn(
             agent_state,
             jax.random.PRNGKey(args.seed),
-            _suite_env_params("standard", args.rocket_mass),
+            _suite_env_params("standard", args.rocket_mass,
+                              trim_obs=args.trim_obs),
         )
         plot_trajectories(series, out / "trajectory_plots.png",
                           max_episodes=args.trajectories)

@@ -411,3 +411,84 @@ def test_terminate_on_success_flag():
     cfg = load_config(None, overrides=["mission_success.terminate_on_success=false"])
     assert build_env_params(cfg).termination.terminate_on_success is False
     assert build_env_params(load_config(None)).termination.terminate_on_success is True
+
+
+class TestTrimObservation:
+    """Trim channels (EnvParams.trim_obs_enabled): obs 10 → 14 with slow EMAs
+    of the presented tilt reading and commanded action — the round-3 fix for
+    the constant-CG-torque unobservability (RESULTS.md r2 ablation)."""
+
+    def _params(self, **kw):
+        import dataclasses as dc
+
+        base = EnvParams(
+            trim_obs_enabled=True,
+            randomization=RandomizationConfig(**kw) if kw else RandomizationConfig(),
+        )
+        return base
+
+    def test_shapes_and_reset_zeros(self):
+        p = self._params()
+        state, obs = rocket_env.reset(jax.random.PRNGKey(0), p)
+        assert obs.shape == (OBS_DIM + 4,)
+        assert np.allclose(np.asarray(obs[-4:]), 0.0)
+        assert state.trim.shape == (4,)
+
+    def test_action_ema_math(self):
+        p = self._params()
+        state, _ = rocket_env.reset(jax.random.PRNGKey(0), p)
+        step = jax.jit(rocket_env.step)
+        a = jnp.array([0.4, -0.2])
+        for _ in range(30):
+            state, out = step(state, a, p)
+        d = float(p.trim_obs_decay)
+        expect = (1.0 - d**30) * np.array([0.4, -0.2])
+        assert np.allclose(np.asarray(out.obs[-2:]), expect, atol=1e-4)
+
+    def test_tilt_ema_tracks_constant_bias(self):
+        # a constant CG offset produces a persistent tilt; the trim channels
+        # must make it readable (nonzero) while staying noise-filtered
+        import dataclasses as dc
+
+        p = self._params()
+        state, _ = rocket_env.reset(jax.random.PRNGKey(3), p)
+        state = dc.replace(
+            state, dr=dc.replace(state.dr, cg_offset=jnp.array([0.03, 0.0, 0.0], jnp.float32))
+        )
+        step = jax.jit(rocket_env.step)
+        out = None
+        for _ in range(60):
+            state, out = step(state, jnp.zeros(2), p)
+            if bool(out.terminated):
+                break
+        tilt_ema = np.asarray(out.obs[10:12])
+        assert np.any(np.abs(tilt_ema) > 1e-3)
+
+    def test_autoreset_clears_trim(self):
+        p = self._params()
+        state, _ = rocket_env.reset(jax.random.PRNGKey(1), p)
+        step = jax.jit(rocket_env.step_autoreset)
+        # drive hard to termination (tilt > 30 deg)
+        npo = None
+        for _ in range(400):
+            state, out, npo = step(state, jnp.array([1.0, 1.0]), p)
+            if bool(out.terminated | out.truncated):
+                break
+        assert bool(out.terminated | out.truncated)
+        # the carried (fresh) state has zero trim again
+        assert np.allclose(np.asarray(state.trim), 0.0)
+        assert np.allclose(np.asarray(npo[-4:]), 0.0)
+
+    def test_disabled_is_ten_dim_and_config_wired(self):
+        state, obs = rocket_env.reset(jax.random.PRNGKey(0), EnvParams())
+        assert obs.shape == (OBS_DIM,)
+        from tvc_ai_tpu.config import load_config
+        from tvc_ai_tpu.config.build import build_env_params, build_loop_config
+
+        cfg = load_config(None, overrides=["env.trim_observation.enabled=true"])
+        p = build_env_params(cfg)
+        assert p.trim_obs_enabled
+        assert build_loop_config(cfg).obs_dim == OBS_DIM + 4
+        cfg0 = load_config(None)
+        assert not build_env_params(cfg0).trim_obs_enabled
+        assert build_loop_config(cfg0).obs_dim == OBS_DIM

@@ -111,3 +111,41 @@ def test_plot_trajectories_writes_png(tmp_path):
     out = tmp_path / "traj.png"
     plot_trajectories(series, out)
     assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_obs_dim_truncation_with_history():
+    """--obs_dim 8 with --history 2: truncation must apply PER FRAME before
+    flattening (round-2 advisor finding: a trailing slice on the stacked
+    window shape-errors / feeds wrong dims). Net input = 8*2 = 16."""
+    from tvc_ai_tpu.agents import sac as sac_mod
+
+    cfg = SACConfig(hidden_dims=(16, 16))
+    agent = sac_mod.init(jax.random.PRNGKey(0), 16, 2, cfg)
+    env_params = EnvParams(max_episode_steps=20)
+    eval_fn = jax.jit(
+        make_eval_fn(cfg, num_episodes=3, obs_dim=8, history_len=2)
+    )
+    stats = eval_fn(agent, jax.random.PRNGKey(1), env_params)
+    assert np.all(np.asarray(stats.lengths) > 0)
+    assert np.all(np.isfinite(np.asarray(stats.returns)))
+
+    from tvc_ai_tpu.eval.rollout import make_trajectory_fn
+
+    traj_fn = jax.jit(
+        make_trajectory_fn(cfg, num_episodes=2, obs_dim=8, history_len=2)
+    )
+    series = traj_fn(agent, jax.random.PRNGKey(2), env_params)
+    assert series["altitude"].shape == (20, 2)
+
+
+def test_eval_with_trim_obs_and_history():
+    """Trim-augmented env (obs 14) × history 2 → policy view 28; the eval
+    rollout must infer the frame size rather than hardcode 10."""
+    from tvc_ai_tpu.agents import sac as sac_mod
+
+    cfg = SACConfig(hidden_dims=(16, 16))
+    agent = sac_mod.init(jax.random.PRNGKey(0), 28, 2, cfg)
+    env_params = EnvParams(max_episode_steps=20, trim_obs_enabled=True)
+    eval_fn = jax.jit(make_eval_fn(cfg, num_episodes=3, history_len=2))
+    stats = eval_fn(agent, jax.random.PRNGKey(1), env_params)
+    assert np.all(np.isfinite(np.asarray(stats.returns)))

@@ -158,3 +158,58 @@ def test_transformer_architecture_option():
         )
     )
     assert changed
+
+
+def test_ema_actor_shadow():
+    """EMA shadow actor (SACConfig.ema_decay): init copies θ, updates move it
+    slowly toward θ, eval_actor_view serves it (round-3 oscillation fix)."""
+    import jax.flatten_util  # noqa: F401
+
+    cfg = sac_mod.SACConfig(
+        hidden_dims=(32, 32), batch_size=8, ema_decay=0.9
+    )
+    agent = sac_mod.init(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, cfg)
+    assert agent.ema_actor_params is not None
+    flat0 = jax.flatten_util.ravel_pytree(agent.actor_params)[0]
+    ema0 = jax.flatten_util.ravel_pytree(agent.ema_actor_params)[0]
+    assert np.allclose(np.asarray(flat0), np.asarray(ema0))
+
+    for i in range(5):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(i + 1))
+        agent, _ = sac_mod.update(
+            agent, random_batch(k1), k2, cfg, OBS_DIM, ACT_DIM
+        )
+    live = jax.flatten_util.ravel_pytree(agent.actor_params)[0]
+    ema = jax.flatten_util.ravel_pytree(agent.ema_actor_params)[0]
+    d_live = float(jnp.linalg.norm(live - flat0))
+    d_ema = float(jnp.linalg.norm(ema - flat0))
+    assert d_live > 0 and 0 < d_ema < d_live  # EMA lags the live actor
+
+    view = sac_mod.eval_actor_view(agent, cfg)
+    v = jax.flatten_util.ravel_pytree(view.actor_params)[0]
+    assert np.allclose(np.asarray(v), np.asarray(ema))
+
+    # off by default: no shadow, view is identity
+    cfg0 = sac_mod.SACConfig(hidden_dims=(32, 32))
+    a0 = sac_mod.init(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, cfg0)
+    assert a0.ema_actor_params is None
+    assert sac_mod.eval_actor_view(a0, cfg0) is a0
+
+
+def test_bfloat16_compute_dtype():
+    """compute_dtype=bfloat16: hidden matmuls run bf16 (MXU-native), params
+    and action outputs stay fp32, one update step stays finite."""
+    cfg = sac_mod.SACConfig(
+        hidden_dims=(32, 32), batch_size=8, compute_dtype="bfloat16"
+    )
+    agent = sac_mod.init(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, cfg)
+    leaves = jax.tree.leaves(agent.actor_params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # params stored fp32
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, OBS_DIM))
+    a = sac_mod.select_action(agent, obs, jax.random.PRNGKey(2), cfg, ACT_DIM)
+    assert a.dtype == jnp.float32
+    assert np.all(np.abs(np.asarray(a)) <= 1.0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    agent, m = sac_mod.update(agent, random_batch(k1), k2, cfg, OBS_DIM, ACT_DIM)
+    assert np.isfinite(float(m["critic_loss"]))
+    assert np.isfinite(float(m["actor_loss"]))

@@ -54,3 +54,15 @@ def test_trainer_end_to_end_and_resume(tmp_path):
         (tmp_path / "run2" / "final_metrics.json").read_text()
     )
     assert metrics["env_steps"] == result2["env_steps"]
+
+
+def test_robust_metric_requires_robust_eval(tmp_path):
+    """early_stopping.metric=eval_robust_* without the robust eval would
+    silently track the nominal metric (round-2 advisor finding) — must fail
+    loudly at init instead."""
+    from tvc_ai_tpu.training.trainer import Trainer
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.training.early_stopping.metric = "eval_robust_success_rate"
+    with pytest.raises(ValueError, match="eval_domain_randomization"):
+        Trainer(cfg, output_dir=tmp_path / "runx")

@@ -349,11 +349,20 @@ def test_curriculum_stage_overlays_hard_axes_and_dwell():
     )
     assert float(p2.randomization.cg_offset_max) == pytest.approx(dr.cg_offset_max)
 
-    # dwell gate
+    # dwell gate: evals during the dwell are DISCARDED (not appended), so the
+    # first post-dwell eval cannot promote on stale pre-dwell evidence
+    # (round-2 advisor finding) — promotion needs 3 fresh post-dwell evals
     cfg2 = FrameworkConfig()
     cfg2.curriculum = dataclasses.replace(cfg2.curriculum, min_stage_steps=1000)
     cm = CurriculumManager(cfg2)
     for _ in range(5):
         assert not cm.update_eval(1.0)  # above threshold but no dwell yet
-    cm.update(episodes_finished=10, success_rate=1.0, env_steps=1000)
-    assert cm.update_eval(1.0)  # dwell satisfied -> promotes
+    cm.update(episodes_finished=0, success_rate=0.0, env_steps=1000)
+    assert not cm.update_eval(1.0)  # 1 post-dwell eval: fresh window
+    assert not cm.update_eval(1.0)  # 2
+    assert cm.update_eval(1.0)      # 3 fresh evals -> promotes
+    # and the training-rollout promotion path honors the same dwell
+    cm2 = CurriculumManager(cfg2)
+    for _ in range(30):
+        assert not cm2.update(episodes_finished=10, success_rate=1.0)
+    assert cm2.update(episodes_finished=10, success_rate=1.0, env_steps=1000)

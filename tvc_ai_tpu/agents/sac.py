@@ -63,6 +63,15 @@ class SACConfig:
     tau_min: float = 0.001
     tau_max: float = 0.01
     tau_decay: float = 0.999
+    # Polyak-averaged (EMA) shadow actor for evaluation/deployment (0 = off):
+    # at training LR the live policy crosses the success knife edge between
+    # adjacent evals (RESULTS.md r2); the EMA actor is a stable estimator of
+    # the policy the optimizer is orbiting. Updated every gradient step:
+    # ema ← ema·d + θ·(1−d).
+    ema_decay: float = 0.0
+    # compute dtype of the hidden matmul stack: "float32" (default) or
+    # "bfloat16" (MXU-native; params stay fp32, output heads stay fp32)
+    compute_dtype: str = "float32"
     # policy architecture: "mlp" (default) or "transformer" — the reference's
     # flagship TransformerPolicyNetwork (network.architecture_type in its
     # config); critics stay MLP in both cases (ref SAC member :592-612)
@@ -97,6 +106,9 @@ class SACState:
     critic_opt: Any
     alpha_opt: Any
     step: jnp.ndarray  # i32 update counter
+    # EMA shadow of actor_params (None when cfg.ema_decay == 0); read it
+    # through eval_actor_view()
+    ema_actor_params: Any = None
 
 
 def _optim(lr: float, cfg: "SACConfig") -> optax.GradientTransformation:
@@ -135,6 +147,9 @@ def effective_tau(cfg: "SACConfig", update_step: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_networks(obs_dim: int, action_dim: int, cfg: SACConfig):
+    dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
     if cfg.architecture == "transformer":
         from tvc_ai_tpu.models.transformer import TransformerActor
 
@@ -145,8 +160,10 @@ def make_networks(obs_dim: int, action_dim: int, cfg: SACConfig):
             num_heads=cfg.transformer_heads,
         )
     else:
-        actor = GaussianActor(action_dim=action_dim, hidden_dims=cfg.hidden_dims)
-    critic = TwinQ(hidden_dims=cfg.hidden_dims)
+        actor = GaussianActor(
+            action_dim=action_dim, hidden_dims=cfg.hidden_dims, dtype=dtype
+        )
+    critic = TwinQ(hidden_dims=cfg.hidden_dims, dtype=dtype)
     return actor, critic
 
 
@@ -167,7 +184,17 @@ def init(key: jnp.ndarray, obs_dim: int, action_dim: int, cfg: SACConfig) -> SAC
         critic_opt=_optim(cfg.lr_critic, cfg).init(critic_params),
         alpha_opt=optax.adam(cfg.lr_alpha).init(log_alpha),
         step=jnp.int32(0),
+        ema_actor_params=(
+            jax.tree.map(jnp.copy, actor_params) if cfg.ema_decay > 0 else None
+        ),
     )
+
+
+def eval_actor_view(state: SACState, cfg: SACConfig) -> SACState:
+    """The state to evaluate/export: EMA actor when enabled, else the live one."""
+    if cfg.ema_decay > 0 and state.ema_actor_params is not None:
+        return state.replace(actor_params=state.ema_actor_params)
+    return state
 
 
 def select_action(
@@ -280,6 +307,14 @@ def update(
         critic_params,
     )
 
+    # ---- EMA shadow actor (static-gated; see SACConfig.ema_decay)
+    ema_actor_params = state.ema_actor_params
+    if cfg.ema_decay > 0 and ema_actor_params is not None:
+        d = jnp.float32(cfg.ema_decay)
+        ema_actor_params = jax.tree.map(
+            lambda e, p: e * d + p * (1.0 - d), ema_actor_params, actor_params
+        )
+
     new_state = SACState(
         actor_params=actor_params,
         critic_params=critic_params,
@@ -289,6 +324,7 @@ def update(
         critic_opt=critic_opt,
         alpha_opt=alpha_opt,
         step=state.step + 1,
+        ema_actor_params=ema_actor_params,
     )
     metrics = {
         "critic_loss": critic_loss,

@@ -118,6 +118,7 @@ def build_env_params(
         max_tilt=jnp.float32(sc.max_tilt),
         max_altitude=jnp.float32(sc.max_altitude),
     )
+    trim = e.trim_observation
     return EnvParams(
         rocket=rocket,
         randomization=rnd,
@@ -125,6 +126,9 @@ def build_env_params(
         reward=reward,
         termination=termination,
         max_episode_steps=e.max_episode_steps,
+        trim_obs_enabled=trim.enabled,
+        trim_obs_decay=jnp.float32(trim.decay),
+        trim_obs_tilt_scale=jnp.float32(trim.tilt_scale),
     )
 
 
@@ -137,6 +141,8 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         lr_actor=s.lr_actor,
         lr_critic=s.lr_critic,
         lr_alpha=s.lr_alpha,
+        ema_decay=s.ema_decay,
+        compute_dtype=s.compute_dtype,
         gamma=s.gamma,
         tau=s.tau,
         alpha=0.2 if auto_ent else float(s.ent_coef),
@@ -155,6 +161,18 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         # called it — SURVEY §2.5; utils/training_stability.py:75-150)
         lr_schedule=(
             st.scheduler_type if st.enable_lr_scheduling else "constant"
+        ),
+        # decay horizon in GRADIENT UPDATES, aligned to the configured run:
+        # (env steps / envs) × updates_per_step. Left at the dataclass
+        # default, a 250M-step campaign would hit LR 0 a quarter of the way
+        # in (the schedule counts optimizer steps, not env steps).
+        schedule_total_steps=max(
+            int(
+                cfg.training.total_timesteps
+                / max(cfg.training.num_envs, 1)
+                * cfg.training.updates_per_step
+            ),
+            1,
         ),
         adaptive_tau=st.adaptive_tau,
     )
@@ -183,10 +201,14 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
     rnd = cfg.exploration.random_network_distillation
     sc = cfg.safety.constraints
     pi = cfg.physics_informed
+    from tvc_ai_tpu.env.types import OBS_DIM, TRIM_OBS_DIM
+
     return TrainLoopConfig(
         num_envs=t.num_envs,
         rollout_steps=t.rollout_steps,
         updates_per_step=t.updates_per_step,
+        obs_dim=OBS_DIM
+        + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0),
         history_len=cfg.network.history_len,
         use_safety_layer=cfg.safety.enabled,
         safety=SafetyConstraints(

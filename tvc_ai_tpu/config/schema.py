@@ -130,6 +130,16 @@ class SACSection:
     grad_clip_norm: float = 5.0
     reward_scale: float = 0.05  # TD-target scaling (returns reach thousands)
     hidden_dims: list[int] = field(default_factory=lambda: [256, 256])
+    # Polyak-averaged (EMA) actor for evaluation/deployment: per-update
+    # decay of the shadow copy (0 = off). At training LR the live policy
+    # oscillates across the |ω|<0.1 success knife edge between adjacent
+    # evals (RESULTS.md r2 item 9); the EMA actor is the stable estimator
+    # that replaces "capture the best lucky eval". 0.999 ≈ 1000-update
+    # averaging window.
+    ema_decay: float = 0.0
+    # hidden-stack compute dtype: float32 | bfloat16 (MXU-native matmuls;
+    # params and output heads stay fp32)
+    compute_dtype: str = "float32"
 
 
 @dataclass
@@ -397,6 +407,19 @@ class DomainRandomizationConfig:
 
 
 @dataclass
+class TrimObservationConfig:
+    """Opt-in trim channels appended to the observation (10 → 14 dims):
+    slow EMAs of the presented tilt reading (qx, qy) and of the commanded
+    gimbal action. Makes a constant unknown thrust-torque bias (CG offset —
+    the dominant robustness failure axis, RESULTS.md r2) directly readable
+    by a memoryless policy; see env/types.py EnvParams.trim_obs_*."""
+
+    enabled: bool = False
+    decay: float = 0.99        # EMA decay per control step (~100-step window)
+    tilt_scale: float = 10.0   # observation scaling on the tilt-EMA pair
+
+
+@dataclass
 class EnvSection:
     max_episode_steps: int = 1000
     physics_timestep: float = 0.02
@@ -418,6 +441,9 @@ class EnvSection:
     fuel_burn_rate: float = 0.001
     domain_randomization: DomainRandomizationConfig = field(
         default_factory=DomainRandomizationConfig
+    )
+    trim_observation: TrimObservationConfig = field(
+        default_factory=TrimObservationConfig
     )
 
 

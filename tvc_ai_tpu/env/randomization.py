@@ -5,6 +5,13 @@ The reference *specs* randomization (config/config.yaml:340-349, legacy
 enhanced env never implements it (SURVEY §2.1). Here it is implemented per
 spec: each vmapped env carries its own ``DomainParams`` draw, resampled at
 every reset from its own key — no host sync, no Python RNG.
+
+Hot-path note (round 3): under branchless autoreset this sampler runs EVERY
+env step for EVERY env, so the PRNG op count dominates its cost. All uniform
+variates come from ONE ``jax.random.uniform`` call and all normal variates
+from ONE ``jax.random.normal`` call (two threefry invocations total, vs ~10
+for field-by-field draws — measured ~15% of headline env throughput); the
+static config gates then select nominal values arithmetically.
 """
 
 from __future__ import annotations
@@ -14,6 +21,11 @@ import jax.numpy as jnp
 
 from tvc_ai_tpu.env.types import DomainParams, RandomizationConfig
 from tvc_ai_tpu.physics.types import RocketParams
+
+# slots of the fused uniform draw u ~ U[-1, 1]^7
+_U_MASS, _U_CG_X, _U_CG_Y, _U_CG_Z, _U_MIX, _U_NOISE, _U_PROG = range(7)
+# slots of the fused normal draw n ~ N(0,1)^3
+_N_THRUST, _N_WIND_X, _N_WIND_Y = range(3)
 
 
 def sample_domain_params(
@@ -25,17 +37,22 @@ def sample_domain_params(
     thrust: normal σ=thrust_variation (clipped to ±2σ, always positive);
     cg offset: uniform ball ≤ cg_offset_max in xy and half that in z;
     wind: normal σ=wind_max/2 clipped to ±wind_max per horizontal axis;
-    sensor noise σ fixed from config.
+    sensor noise σ fixed from config (or σ ~ U[0, max] per episode).
     """
-    if cfg.progress_rate_randomized:
-        k_noise, k_prog, key = jax.random.split(key, 3)
-        progress_rate = jax.random.uniform(
-            k_prog, (),
-            minval=cfg.progress_rate_min, maxval=cfg.progress_rate_max,
+    needs_uniform = (
+        cfg.enabled or cfg.sensor_noise_uniform or cfg.progress_rate_randomized
+    )
+    if not needs_uniform:
+        noise_std = (
+            jnp.asarray(cfg.sensor_noise_std, jnp.float32)
+            if cfg.sensor_noise_enabled
+            else jnp.float32(0.0)
         )
-    else:
-        k_noise, key = jax.random.split(key)
-        progress_rate = jnp.float32(1.0)
+        return DomainParams.nominal(rocket).replace(sensor_noise_std=noise_std)
+
+    ku, kn = jax.random.split(key)
+    u = jax.random.uniform(ku, (7,), minval=-1.0, maxval=1.0)
+
     noise_std = (
         jnp.asarray(cfg.sensor_noise_std, jnp.float32)
         if cfg.sensor_noise_enabled
@@ -43,37 +60,41 @@ def sample_domain_params(
     )
     if cfg.sensor_noise_enabled and cfg.sensor_noise_uniform:
         # per-episode noise level: σ ~ U[0, sensor_noise_std]
-        noise_std = noise_std * jax.random.uniform(k_noise, ())
+        noise_std = noise_std * (u[_U_NOISE] * 0.5 + 0.5)
+    if cfg.progress_rate_randomized:
+        progress_rate = cfg.progress_rate_min + (u[_U_PROG] * 0.5 + 0.5) * (
+            cfg.progress_rate_max - cfg.progress_rate_min
+        )
+    else:
+        progress_rate = jnp.float32(1.0)
+
     if not cfg.enabled:
         return DomainParams.nominal(rocket).replace(
-            sensor_noise_std=noise_std, progress_rate=progress_rate
+            sensor_noise_std=noise_std,
+            progress_rate=progress_rate.astype(jnp.float32),
         )
 
-    k_mass, k_thrust, k_cg, k_wind, k_mix = jax.random.split(key, 5)
-    mass = rocket.mass * (
-        1.0
-        + jax.random.uniform(
-            k_mass, (), minval=-cfg.mass_variation, maxval=cfg.mass_variation
-        )
-    )
+    n = jax.random.normal(kn, (3,))
+    mass = rocket.mass * (1.0 + u[_U_MASS] * cfg.mass_variation)
     thrust_scale = 1.0 + jnp.clip(
-        jax.random.normal(k_thrust, ()) * cfg.thrust_variation,
+        n[_N_THRUST] * cfg.thrust_variation,
         -2.0 * cfg.thrust_variation,
         2.0 * cfg.thrust_variation,
     )
-    cg_dir = jax.random.uniform(k_cg, (3,), minval=-1.0, maxval=1.0)
-    cg_offset = cg_dir * cfg.cg_offset_max * jnp.array([1.0, 1.0, 0.5])
+    cg_offset = (
+        u[_U_CG_X : _U_CG_Z + 1]
+        * cfg.cg_offset_max
+        * jnp.array([1.0, 1.0, 0.5])
+    )
     wind_xy = jnp.clip(
-        jax.random.normal(k_wind, (2,)) * (cfg.wind_max * 0.5),
-        -cfg.wind_max,
-        cfg.wind_max,
+        n[_N_WIND_X:] * (cfg.wind_max * 0.5), -cfg.wind_max, cfg.wind_max
     )
     wind = jnp.concatenate([wind_xy, jnp.zeros(1)])
     if cfg.dr_mixture_enabled:
         # easy/hard mixture gate on the hard physical axes (see
         # RandomizationConfig.dr_prob); dither axes (noise level, progress
         # slope, initial state) stay active either way
-        hard = jax.random.uniform(k_mix, ()) < cfg.dr_prob
+        hard = (u[_U_MIX] * 0.5 + 0.5) < cfg.dr_prob
         mass = jnp.where(hard, mass, rocket.mass)
         thrust_scale = jnp.where(hard, thrust_scale, 1.0)
         cg_offset = jnp.where(hard, cg_offset, 0.0)
@@ -83,6 +104,6 @@ def sample_domain_params(
         thrust_scale=thrust_scale.astype(jnp.float32),
         cg_offset=cg_offset.astype(jnp.float32),
         wind=wind.astype(jnp.float32),
-        sensor_noise_std=noise_std,
+        sensor_noise_std=noise_std.astype(jnp.float32),
         progress_rate=progress_rate.astype(jnp.float32),
     )

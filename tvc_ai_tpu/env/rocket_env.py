@@ -33,6 +33,7 @@ from tvc_ai_tpu.env.types import (
     NUM_PHASES,
     OBS_DIM,
     PHASE_BOOST,
+    TRIM_OBS_DIM,
     EnvParams,
     EnvState,
     StepOutput,
@@ -53,27 +54,35 @@ def _observe(
     noise_std: jnp.ndarray,
     progress_rate: jnp.ndarray,
     prev_imu: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """10-D observation [quat, ω, fuel, phase/7, progress] (ref :587-606).
 
     IMU noise (domain-randomization spec, config.yaml:347-349) perturbs the
-    quaternion (renormalized) and angular-velocity channels. ``progress_rate``
-    (nominal 1.0) scales the progress slope per episode — see
-    DomainParams.progress_rate. With ``sensor_dropout_prob`` > 0 and a
-    ``prev_imu`` available, the IMU channels go stale (hold-last) on dropout
-    steps. Returns ``(obs, imu)`` where ``imu`` is the presented 7-channel
-    [quat, ω] reading to carry as the next ``prev_imu``.
+    quaternion (renormalized) and angular-velocity channels; the draw is
+    static-gated on ``sensor_noise_enabled`` and fused into ONE normal(7)
+    call (hot-path: this runs per env step). ``progress_rate`` (nominal 1.0)
+    scales the progress slope per episode — see DomainParams.progress_rate.
+    With ``sensor_dropout_prob`` > 0 and a ``prev_imu`` available, the IMU
+    channels go stale (hold-last) on dropout steps. Returns ``(obs, imu)``
+    where ``imu`` is the presented 7-channel [quat, ω] reading to carry as
+    the next ``prev_imu`` — ``None`` unless sensor dropout is enabled (the
+    only consumer of the carry).
     """
     use_dropout = (
         params.randomization.sensor_dropout_enabled and prev_imu is not None
     )
-    if use_dropout:
-        kq, kw, kd = jax.random.split(noise_key, 3)
+    if params.randomization.sensor_noise_enabled:
+        if use_dropout:
+            kn, kd = jax.random.split(noise_key)
+        else:
+            kn = noise_key
+        noise = jax.random.normal(kn, (7,)) * noise_std
+        q = quat.normalize(state_body.quat + noise[:4])
+        w = state_body.omega + noise[4:]
     else:
-        kq, kw = jax.random.split(noise_key)
-    q = state_body.quat + jax.random.normal(kq, (4,)) * noise_std
-    q = quat.normalize(q)
-    w = state_body.omega + jax.random.normal(kw, (3,)) * noise_std
+        kd = noise_key
+        q = state_body.quat
+        w = state_body.omega
     phase_value = phase.astype(jnp.float32) / NUM_PHASES
     progress = jnp.minimum(
         1.0,
@@ -92,30 +101,53 @@ def _observe(
     obs = jnp.concatenate(
         [q, w, fuel[None], phase_value[None], progress[None]]
     ).astype(jnp.float32)
-    # single concatenate; the carried IMU reading is a slice of it (a slice,
-    # not a fresh constant: under shard_map a constant would be unvarying
-    # over the mesh axis and break the scan carry type; a zero-size array
-    # would be cheaper still but orbax refuses to checkpoint empty arrays)
-    return obs, obs[:7]
+    # no dropout → nothing consumes a carried IMU reading; None keeps the
+    # (7,) slice + its autoreset select + checkpoint traffic out of the
+    # hot path entirely (the round-2 always-materialized carry cost ~6%)
+    return obs, None
+
+
+def _append_trim(
+    obs: jnp.ndarray, trim: jnp.ndarray, params: EnvParams
+) -> jnp.ndarray:
+    """Append the scaled trim channels when the static gate is on (obs
+    10 → 14); compiled away entirely when off."""
+    if not params.trim_obs_enabled:
+        return obs
+    scale = jnp.concatenate(
+        [
+            jnp.broadcast_to(params.trim_obs_tilt_scale, (2,)),
+            jnp.ones(2, jnp.float32),
+        ]
+    )
+    return jnp.concatenate([obs, trim * scale]).astype(jnp.float32)
 
 
 def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     """Reset one env: nominal pose [0,0,1]/identity (ref :434-441) plus any
-    configured initial-condition randomization (curriculum/legacy spec)."""
-    k_dr, k_tilt, k_omega, k_pos, k_noise, k_next = jax.random.split(key, 6)
+    configured initial-condition randomization (curriculum/legacy spec).
+
+    Hot-path note: under branchless autoreset this runs per env step, so all
+    initial-condition variates come from ONE fused uniform(7) draw (tilt
+    angle/azimuth, ω, position jitter) — see env/randomization.py for the
+    same treatment of the domain draw.
+    """
+    k_dr, k_init, k_noise, k_next = jax.random.split(key, 4)
     rnd = params.randomization
     dr = sample_domain_params(k_dr, params.rocket, rnd)
 
-    q0 = quat.random_tilt_quaternion(k_tilt, rnd.init_tilt_max)
-    omega0 = jax.random.uniform(
-        k_omega, (3,), minval=-1.0, maxval=1.0
-    ) * rnd.init_omega_max
+    u = jax.random.uniform(k_init, (7,), minval=-1.0, maxval=1.0)
+    # tilt: angle ~ U[0, max], azimuth ~ U[-π, π] (same law as
+    # quaternion.random_tilt_quaternion, drawn from the fused vector)
+    angle = (u[0] * 0.5 + 0.5) * rnd.init_tilt_max
+    azimuth = u[1] * jnp.pi
+    axis = jnp.array([1.0, 0.0, 0.0]) * jnp.cos(azimuth) + jnp.array(
+        [0.0, 1.0, 0.0]
+    ) * jnp.sin(azimuth)
+    q0 = quat.from_axis_angle(axis, angle)
+    omega0 = u[2:5] * rnd.init_omega_max
     pos0 = params.init_pos + jnp.concatenate(
-        [
-            jax.random.uniform(k_pos, (2,), minval=-1.0, maxval=1.0)
-            * rnd.init_pos_jitter,
-            jnp.zeros(1),
-        ]
+        [u[5:7] * rnd.init_pos_jitter, jnp.zeros(1)]
     )
     body = RigidBodyState(
         pos=pos0.astype(jnp.float32),
@@ -127,6 +159,12 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
         body, jnp.float32(1.0), jnp.int32(PHASE_BOOST), jnp.int32(0), params,
         k_noise, dr.sensor_noise_std, dr.progress_rate,
     )
+    if params.randomization.sensor_dropout_enabled:
+        # seed the hold-last carry with the first presented reading (the
+        # reset-time _observe has no previous reading to drop to)
+        imu = obs[:7]
+    trim = jnp.zeros(TRIM_OBS_DIM, jnp.float32)
+    obs = _append_trim(obs, trim, params)
     state = EnvState(
         body=body,
         fuel=jnp.float32(1.0),
@@ -139,6 +177,7 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
         reward_window=jnp.zeros(params.reward.variance_window, jnp.float32),
         reward_window_len=jnp.int32(0),
         prev_imu=imu,
+        trim=trim,
         dr=dr,
         key=k_next,
     )
@@ -189,6 +228,14 @@ def step(
     obs, imu = _observe(body, fuel, state.phase, step_count, params, k_noise,
                         state.dr.sensor_noise_std, state.dr.progress_rate,
                         prev_imu=state.prev_imu)
+    # 4b. trim channels: slow EMAs of the presented tilt reading and the
+    # commanded action (static-gated; see EnvParams.trim_obs_enabled).
+    # obs[:2] IS the presented qx, qy reading (post-noise/dropout).
+    trim = state.trim
+    if params.trim_obs_enabled:
+        d = params.trim_obs_decay
+        trim = d * trim + (1.0 - d) * jnp.concatenate([obs[:2], action])
+        obs = _append_trim(obs, trim, params)
 
     # 5. mission FSM + success window (post-physics quantities)
     new_phase, completed = mission_mod.update_phase(
@@ -273,6 +320,7 @@ def step(
         reward_window=reward_window,
         reward_window_len=reward_window_len,
         prev_imu=imu,
+        trim=trim,
         dr=state.dr,
         key=key,
     )

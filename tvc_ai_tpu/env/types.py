@@ -29,6 +29,14 @@ PHASE_NAMES = ("boost", "coast", "landing", "touchdown", "hover", "complete", "f
 OBS_DIM = 10          # [quat(4), ω(3), fuel, phase, progress]  (ref :354-374)
 OBS_DIM_LEGACY = 8    # [quat(4), ω(3), fuel]                   (legacy API, SURVEY §0.1)
 ACTION_DIM = 2        # gimbal [pitch, yaw] in [-1, 1]          (ref :376-379)
+# optional trim-observation channels appended after the reference's 10
+# (EnvParams.trim_obs_enabled): [ema_qx, ema_qy, ema_act_pitch, ema_act_yaw]
+TRIM_OBS_DIM = 4
+
+
+def obs_dim(params: "EnvParams") -> int:
+    """Actual observation width for a parameterization (10 or 10+4)."""
+    return OBS_DIM + (TRIM_OBS_DIM if params.trim_obs_enabled else 0)
 
 
 @struct.dataclass
@@ -217,6 +225,25 @@ class EnvParams:
     init_pos: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.array([0.0, 0.0, 1.0], jnp.float32)
     )
+    # Trim-observation channels (opt-in; obs grows 10 → 14). A constant
+    # unknown thrust-torque bias (CG offset) is unobservable to a memoryless
+    # policy and only marginally identifiable through a short history window
+    # (RESULTS.md r2: cg 0.05 m → 0% success on every trained policy; the
+    # dominant robustness-suite failure axis). These channels expose the
+    # classic adaptive-control trim state directly: slow EMAs of the
+    # PRESENTED tilt reading (noisy qx, qy — what a real estimator would
+    # integrate, and the EMA also filters the sensor noise ~14×) and of the
+    # commanded gimbal action (the trim currently being flown). The EMA time
+    # constant 1/(1-decay) steps makes a steady-state bias directly readable.
+    trim_obs_enabled: bool = struct.field(pytree_node=False, default=False)
+    trim_obs_decay: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.99)
+    )
+    # observation scaling on the tilt-EMA pair (steady qx/qy are O(0.01));
+    # the action-EMA pair is already O(0.1-1) and goes unscaled
+    trim_obs_tilt_scale: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(10.0)
+    )
 
 
 @struct.dataclass
@@ -233,8 +260,14 @@ class EnvState:
     has_prev_action: jnp.ndarray  # bool (first-step smoothness = 1.0, ref :170-179)
     reward_window: jnp.ndarray   # (variance_window,) rolling recent rewards
     reward_window_len: jnp.ndarray  # i32, #valid entries in the window
-    prev_imu: jnp.ndarray        # (7,) last presented [quat, ω] reading
-                                 # (held on sensor-dropout steps)
+    prev_imu: jnp.ndarray | None  # (7,) last presented [quat, ω] reading,
+                                 # held on sensor-dropout steps; None unless
+                                 # sensor dropout is enabled (the only
+                                 # consumer — keeps the carry out of the
+                                 # hot path / checkpoints otherwise)
+    trim: jnp.ndarray            # (4,) [ema_qx, ema_qy, ema_act×2] — the
+                                 # trim-observation state (zeros when the
+                                 # trim_obs_enabled gate is off)
     dr: DomainParams
     key: jnp.ndarray             # per-env PRNG key (sensor noise, next reset)
 

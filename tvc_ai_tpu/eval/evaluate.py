@@ -38,28 +38,44 @@ class SuiteResult:
     metrics: dict[str, float]
 
 
-def _suite_env_params(name: str, rocket_mass: float = 2.0) -> EnvParams:
+def _suite_env_params(
+    name: str,
+    rocket_mass: float = 2.0,
+    trim_obs: bool = False,
+    trim_decay: float = 0.99,
+    trim_scale: float = 10.0,
+) -> EnvParams:
     """Suite env construction. ``rocket_mass`` defaults to the enhanced
     generation's nominal 2.0 kg (what current policies train on); pass 1.5
     to evaluate legacy-generation policies on the legacy RocketConfig
-    nominal."""
+    nominal. ``trim_obs`` enables the 4 trim channels (obs 10 → 14) for
+    policies trained with env.trim_observation — decay/scale must match
+    training."""
     if name == "standard":
-        return RocketConfig(mass=rocket_mass).to_env_params(
+        params = RocketConfig(mass=rocket_mass).to_env_params(
             domain_randomization=False, sensor_noise=False, max_episode_steps=2000
         )
-    if name == "robustness":
-        return RocketConfig(mass=rocket_mass).to_env_params(
+    elif name == "robustness":
+        params = RocketConfig(mass=rocket_mass).to_env_params(
             domain_randomization=True, sensor_noise=True, max_episode_steps=1000
         )
-    if name == "stress":
+    elif name == "stress":
         cfg = RocketConfig(
             mass=rocket_mass, mass_variation=0.5, thrust_variation=0.5,
             cg_offset_max=0.1,
         )
-        return cfg.to_env_params(
+        params = cfg.to_env_params(
             domain_randomization=True, sensor_noise=True, max_episode_steps=1500
         )
-    raise ValueError(f"unknown suite {name!r}")
+    else:
+        raise ValueError(f"unknown suite {name!r}")
+    if trim_obs:
+        params = params.replace(
+            trim_obs_enabled=True,
+            trim_obs_decay=jnp.float32(trim_decay),
+            trim_obs_tilt_scale=jnp.float32(trim_scale),
+        )
+    return params
 
 
 SUITE_EPISODES = {"standard": 100, "robustness": 200, "stress": 50}
@@ -74,9 +90,10 @@ def run_suite(
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
     history_len: int = 1,
+    trim_obs: bool = False,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
-    env_params = _suite_env_params(name, rocket_mass)
+    env_params = _suite_env_params(name, rocket_mass, trim_obs=trim_obs)
     eval_fn = jax.jit(
         make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim, history_len=history_len)
     )
@@ -94,6 +111,7 @@ def run_all_suites(
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
     history_len: int = 1,
+    trim_obs: bool = False,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -102,7 +120,7 @@ def run_all_suites(
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass,
-            history_len,
+            history_len, trim_obs,
         )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")
@@ -242,9 +260,14 @@ def load_agent_state(
     # an abstract target, and eval never touches them
     import jax.numpy as jnp
 
+    # prefer the EMA (Polyak) actor when the checkpoint carries one — the
+    # stable policy estimator intended for evaluation/deployment
+    actor_src = agent_dict.get("ema_actor_params")
+    if actor_src is None:
+        actor_src = agent_dict["actor_params"]
     return template.replace(
         actor_params=serialization.from_state_dict(
-            template.actor_params, agent_dict["actor_params"]
+            template.actor_params, actor_src
         ),
         critic_params=serialization.from_state_dict(
             template.critic_params, agent_dict["critic_params"]

@@ -143,12 +143,19 @@ def make_eval_fn(
     ``obs_dim`` truncates the env's 10-D observation for agents trained on
     the legacy 8-D [quat, ω, fuel] layout (SURVEY §0.1) — the first 8 dims
     are identical across generations. ``history_len`` must match the value
-    the agent was trained with.
+    the agent was trained with; with history the truncation applies PER
+    FRAME (the policy view is the flattened (E, H·obs_dim) window, so a
+    trailing slice would grab the first obs_dim dims of the stacked window
+    instead).
     """
-
     def policy_fn(agent, obs, key):
         if obs_dim is not None:
-            obs = obs[..., :obs_dim]
+            if history_len > 1:
+                # frame size inferred (-1): env frames can be 10 or 14 (trim)
+                frames = obs.reshape(obs.shape[0], history_len, -1)
+                obs = frames[..., :obs_dim].reshape(obs.shape[0], -1)
+            else:
+                obs = obs[..., :obs_dim]
         return sac_mod.select_action(
             agent, obs, key, sac_cfg, action_dim, deterministic=True
         )
@@ -170,12 +177,16 @@ def make_hier_eval_fn(
     """
     import jax.nn
 
-    from tvc_ai_tpu.env.types import OBS_DIM
     from tvc_ai_tpu.models import hierarchical as hier_mod
 
     def policy_fn(agent, obs, key):
         sac_state, high_state = agent
-        frame = obs[..., -OBS_DIM:] if history_len > 1 else obs
+        # newest frame of the flattened window (frame size inferred: 10 or 14)
+        frame = (
+            obs.reshape(obs.shape[0], history_len, -1)[:, -1, :]
+            if history_len > 1
+            else obs
+        )
         goal = hier_mod.sample_goal(
             high_state, frame, key, hier_cfg, deterministic=True
         )
@@ -204,7 +215,13 @@ def make_trajectory_fn(
     batched_step = jax.vmap(rocket_env.step, in_axes=(0, 0, None))
 
     def policy_fn(agent, obs, key):
-        view = obs if obs_dim is None else obs[..., :obs_dim]
+        view = obs
+        if obs_dim is not None:
+            if history_len > 1:  # truncate per frame (see make_eval_fn)
+                frames = view.reshape(view.shape[0], history_len, -1)
+                view = frames[..., :obs_dim].reshape(view.shape[0], -1)
+            else:
+                view = view[..., :obs_dim]
         return sac_mod.select_action(
             agent, view, key, sac_cfg, action_dim, deterministic=True
         )

@@ -105,9 +105,12 @@ class CurriculumManager:
         high-LR artifacts, not inability."""
         if not self.enabled or self.finished:
             return False
-        self.eval_window.append(float(eval_success_rate))
         if self.steps_in_stage < self.cur.min_stage_steps:
-            return False  # dwell: must actually train at this difficulty
+            # dwell: must actually train at this difficulty; evals from the
+            # dwell period are NOT appended, else the first post-dwell eval
+            # could promote on stale pre-dwell evidence
+            return False
+        self.eval_window.append(float(eval_success_rate))
         if len(self.eval_window) >= 3:
             if max(self.eval_window) >= self.stage.success_threshold:
                 self.advance_stage()
@@ -118,6 +121,8 @@ class CurriculumManager:
         if self.finished:
             return False
         stage = self.stage
+        if self.steps_in_stage < self.cur.min_stage_steps:
+            return False  # same dwell the eval path enforces
         if self.episodes_in_stage < stage.episodes * self.cur.min_stage_fraction:
             return False
         if len(self.success_window) < max(3, self.cur.stability_window // 10):

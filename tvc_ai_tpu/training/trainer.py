@@ -34,6 +34,7 @@ from tvc_ai_tpu.config.build import (
     build_loop_config,
     build_sac_config,
 )
+from tvc_ai_tpu.agents import sac as sac_mod
 from tvc_ai_tpu.config.schema import FrameworkConfig
 from tvc_ai_tpu.eval.rollout import make_eval_fn, summarize_stats
 from tvc_ai_tpu.training import loop as loop_mod
@@ -122,6 +123,18 @@ class Trainer:
         # inflate "robust" success with nominal episodes (measured: 51.6%
         # mixture-eval vs 0% true-DR suite)
         self.robust_eval_env_params = None
+        if cfg.training.early_stopping.metric.startswith(
+            "eval_robust_"
+        ) and not cfg.training.eval_domain_randomization:
+            # without the robust eval, evaluate() never produces eval_robust_*
+            # and best-checkpoint/early-stopping would silently fall back to
+            # the nominal metric — a different quantity than configured
+            raise ValueError(
+                f"early_stopping.metric="
+                f"{cfg.training.early_stopping.metric!r} requires "
+                "training.eval_domain_randomization=true (the robust eval is "
+                "what produces eval_robust_* metrics)"
+            )
         if cfg.training.eval_domain_randomization:
             robust_cfg = copy.deepcopy(cfg)
             robust_cfg.env.domain_randomization.enabled = True
@@ -193,6 +206,7 @@ class Trainer:
         )
         self.best_metric = float("-inf")
         self.best_nominal_metric = float("-inf")
+        self.best_significant_metric = float("-inf")
         self.eval_rounds_since_improvement = 0
         self.iteration = 0
         self._last_episodes = 0
@@ -211,6 +225,7 @@ class Trainer:
             "iteration": self.iteration,
             "best_metric": self.best_metric,
             "best_nominal_metric": self.best_nominal_metric,
+            "best_significant_metric": self.best_significant_metric,
             "curriculum": self.curriculum.state_dict(),
             "stability": self.stability.state_dict(),
             "last_episodes": self._last_episodes,
@@ -286,6 +301,9 @@ class Trainer:
         )
         if self.ckpt_best_nominal.latest_step() is None:
             self.best_nominal_metric = float("-inf")
+        self.best_significant_metric = float(
+            host.get("best_significant_metric", self.best_metric)
+        )
         self.curriculum.load_state_dict(host.get("curriculum", {}))
         self.stability.load_state_dict(host.get("stability", {}))
         self._last_episodes = int(host.get("last_episodes", 0))
@@ -529,12 +547,7 @@ class Trainer:
                 # min_improvement only gates the early-stopping patience
                 # counter (otherwise a 98.4%→100% eval would go unsaved)
                 if metric > self.best_metric:
-                    improved_enough = (
-                        metric > self.best_metric + cfg.early_stopping.min_improvement
-                    )
                     self.best_metric = metric
-                    if improved_enough:
-                        self.eval_rounds_since_improvement = 0
                     if cfg.checkpointing.save_best:
                         with self.timer.stage("checkpoint"):
                             self.ckpt_best.save(
@@ -545,6 +558,18 @@ class Trainer:
                             cfg.early_stopping.metric,
                             metric,
                         )
+                # patience tracks a SEPARATE significant-improvement baseline
+                # that only moves on gains > min_improvement: a metric creeping
+                # up by sub-threshold amounts every eval still exhausts
+                # patience (best_metric moves on any gain, so gating on it
+                # would freeze the counter forever)
+                if (
+                    metric
+                    > self.best_significant_metric
+                    + cfg.early_stopping.min_improvement
+                ):
+                    self.best_significant_metric = metric
+                    self.eval_rounds_since_improvement = 0
                 else:
                     self.eval_rounds_since_improvement += 1
                     if (
@@ -564,7 +589,11 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self) -> dict[str, float]:
-        agent = jax.device_get(self.carry.agent)
+        # evaluate the EMA (Polyak) actor when enabled — the stable estimator
+        # of the policy the optimizer is orbiting (sac.eval_actor_view)
+        agent = sac_mod.eval_actor_view(
+            jax.device_get(self.carry.agent), self.sac_cfg
+        )
         if self.loop_cfg.use_hierarchical:
             agent = (agent, jax.device_get(self.carry.hier))
         stats = self._eval_fn(agent, self._next_key(), self.eval_env_params)

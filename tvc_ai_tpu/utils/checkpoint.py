@@ -52,7 +52,14 @@ class CheckpointManager:
 
     def restore(self, abstract_carry: Any, step: int | None = None):
         """Returns (carry, host_state_dict). ``abstract_carry`` provides the
-        pytree structure/shapes (e.g. from ``jax.eval_shape`` of init)."""
+        pytree structure/shapes (e.g. from ``jax.eval_shape`` of init).
+
+        STRICT: the checkpoint must match ``abstract_carry``'s structure
+        exactly. Checkpoints written before a carry field existed (e.g.
+        ``EnvState.prev_imu``, added round 2) fail here with an orbax
+        structure error — resume those through ``Trainer._resume``, which
+        restores by the ON-DISK structure and backfills missing fields from
+        the freshly-initialized carry."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
