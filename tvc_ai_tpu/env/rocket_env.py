@@ -132,8 +132,12 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     angle/azimuth, ω, position jitter) — see env/randomization.py for the
     same treatment of the domain draw.
     """
-    k_dr, k_init, k_noise, k_next = jax.random.split(key, 4)
     rnd = params.randomization
+    if rnd.sensor_noise_enabled:
+        k_dr, k_init, k_noise, k_next = jax.random.split(key, 4)
+    else:
+        k_dr, k_init, k_next = jax.random.split(key, 3)
+        k_noise = k_next  # unused by _observe when noise is off
     dr = sample_domain_params(k_dr, params.rocket, rnd)
 
     u = jax.random.uniform(k_init, (7,), minval=-1.0, maxval=1.0)
@@ -187,7 +191,15 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
 def step(
     state: EnvState, action: jnp.ndarray, params: EnvParams
 ) -> tuple[EnvState, StepOutput]:
-    key, k_noise = jax.random.split(state.key)
+    # the per-step key is consumed only by sensor noise/dropout; skip the
+    # split when neither is enabled (hot path: one threefry per env step).
+    # The key chain still advances at episode boundaries (autoreset splits
+    # the carried key), so resets stay decorrelated.
+    rnd = params.randomization
+    if rnd.sensor_noise_enabled or rnd.sensor_dropout_enabled:
+        key, k_noise = jax.random.split(state.key)
+    else:
+        key = k_noise = state.key
 
     # 1. action → gimbal (ref :470-471); fuel gate checked *before* burn (:530-533)
     action = jnp.clip(action, -1.0, 1.0)
