@@ -31,7 +31,8 @@ def main() -> None:
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
     states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
 
-    batched_step = jax.vmap(rocket_env.step_autoreset, in_axes=(0, 0, None))
+    # auto-selects the SoA Pallas physics kernel on TPU (vmapped XLA on CPU)
+    batched_step = rocket_env.batched_step_autoreset
 
     def rollout(carry, _):
         states, key = carry

@@ -108,3 +108,70 @@ def test_pallas_pads_ragged_batch():
     )
     assert out.pos.shape == (n, 3)
     assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+def test_batched_step_autoreset_full_path_parity():
+    """The whole-app Pallas route (pre-physics vmap → whole-batch kernel →
+    post-physics vmap → autoreset) is bit-compatible with the vmapped path
+    — including PRNG consumption, reward, FSM, and the autoreset select."""
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.env.types import EnvParams, RandomizationConfig
+
+    params = EnvParams(randomization=RandomizationConfig(enabled=True))
+    n = 64
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+
+    ref_states, ref_out = states, None
+    pal_states = states
+    k = jax.random.PRNGKey(12)
+    for t in range(5):
+        k, ka = jax.random.split(k)
+        actions = jax.random.uniform(ka, (n, 2), minval=-1.0, maxval=1.0)
+        ref_states, ref_out, ref_next = jax.vmap(
+            rocket_env.step_autoreset, in_axes=(0, 0, None)
+        )(ref_states, actions, params)
+        pal_states, pal_out, pal_next = rocket_env.batched_step_autoreset(
+            pal_states, actions, params,
+            use_pallas=True, block_envs=64, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_out.obs), np.asarray(pal_out.obs),
+            atol=5e-5, rtol=5e-4, err_msg=f"obs step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_out.reward), np.asarray(pal_out.reward),
+            atol=1e-3, rtol=1e-3, err_msg=f"reward step {t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_out.terminated), np.asarray(pal_out.terminated)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_next), np.asarray(pal_next),
+            atol=5e-5, rtol=5e-4, err_msg=f"next_policy_obs step {t}",
+        )
+        # PRNG chains must stay identical so long rollouts don't diverge
+        np.testing.assert_array_equal(
+            np.asarray(ref_states.key), np.asarray(pal_states.key)
+        )
+
+
+def test_batched_step_autoreset_rejects_extra_physics():
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.env.types import EnvParams
+    from tvc_ai_tpu.physics.types import RocketParams
+
+    params = EnvParams(rocket=RocketParams(magnus_effect=True))
+    assert not rocket_env.pallas_physics_ok(params)
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    with pytest.raises(ValueError):
+        rocket_env.batched_step_autoreset(
+            states, jnp.zeros((n, 2)), params, use_pallas=True, interpret=True
+        )
+    # auto mode silently falls back to the vmapped path
+    out = rocket_env.batched_step_autoreset(
+        states, jnp.zeros((n, 2)), params
+    )
+    assert out[1].obs.shape[0] == n

@@ -210,6 +210,7 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
         obs_dim=OBS_DIM
         + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0),
         history_len=cfg.network.history_len,
+        use_pallas_physics=t.use_pallas_physics,
         use_safety_layer=cfg.safety.enabled,
         safety=SafetyConstraints(
             max_tilt=sc.max_tilt,

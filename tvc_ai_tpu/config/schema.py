@@ -363,6 +363,10 @@ class TrainingConfig:
     rollout_steps: int = 128   # env steps per fused iteration
     updates_per_step: int = 1
     algorithm: str = "sac"     # sac | ppo | td3 | ensemble
+    # physics backend for the batched env step: null/None = auto (SoA Pallas
+    # kernel on TPU when no extended physics term is enabled, vmapped XLA
+    # otherwise); true/false force it (see env.rocket_env.batched_step_autoreset)
+    use_pallas_physics: bool | None = None
     # keep IMU noise in evaluation episodes: without any randomization a
     # deterministic policy makes all eval episodes identical, so the success
     # rate degenerates to a 0/1 coin on threshold-edge behavior; σ=0.02

@@ -188,9 +188,13 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     return state, obs
 
 
-def step(
+def _pre_physics(
     state: EnvState, action: jnp.ndarray, params: EnvParams
-) -> tuple[EnvState, StepOutput]:
+):
+    """Steps 1 of ``step``: action conditioning + fuel gate + PRNG split.
+
+    Split out so the batched Pallas physics path (``batched_step_autoreset``)
+    can vmap it around the whole-batch kernel call."""
     # the per-step key is consumed only by sensor noise/dropout; skip the
     # split when neither is enabled (hot path: one threefry per env step).
     # The key chain still advances at episode boundaries (autoreset splits
@@ -215,6 +219,15 @@ def step(
         jnp.maximum(0.0, state.fuel - params.rocket.fuel_burn_rate),
         state.fuel,
     )
+    return action, gimbal, thrust_active, fuel, key, k_noise
+
+
+def step(
+    state: EnvState, action: jnp.ndarray, params: EnvParams
+) -> tuple[EnvState, StepOutput]:
+    action, gimbal, thrust_active, fuel, key, k_noise = _pre_physics(
+        state, action, params
+    )
 
     # 2. physics (4 substeps @ 50 Hz, ref :339-345,:477)
     body = physics_step(
@@ -226,6 +239,19 @@ def step(
         cg_offset=state.dr.cg_offset,
         wind=state.dr.wind,
     )
+    return _post_physics(state, body, action, fuel, key, k_noise, params)
+
+
+def _post_physics(
+    state: EnvState,
+    body: RigidBodyState,
+    action: jnp.ndarray,
+    fuel: jnp.ndarray,
+    key: jnp.ndarray,
+    k_noise: jnp.ndarray,
+    params: EnvParams,
+) -> tuple[EnvState, StepOutput]:
+    """Steps 3-7 of ``step``: everything after the rigid-body integrate."""
     step_count = state.step_count + 1
 
     # 3. derived quantities (ref _get_state_dict :608-633)
@@ -353,21 +379,10 @@ def step(
     return new_state, out
 
 
-def step_autoreset(
-    state: EnvState, action: jnp.ndarray, params: EnvParams
+def _finish_autoreset(
+    new_state: EnvState, out: StepOutput, params: EnvParams
 ) -> tuple[EnvState, StepOutput, jnp.ndarray]:
-    """Step with masked in-place reset — the vmap replacement for Gym's episode loop.
-
-    Returns ``(carried_state, out, next_policy_obs)``:
-
-    - ``out.obs`` is the TRUE next observation of the (possibly finished)
-      episode step — what belongs in the replay buffer as next_obs;
-    - ``next_policy_obs`` is the observation to act on next step — equal to
-      ``out.obs`` unless the episode ended, in which case it is the first
-      observation of a freshly reset episode (new domain-randomization draw
-      from the env's own key chain, no host sync).
-    """
-    new_state, out = step(state, action, params)
+    """Masked in-place reset after a completed ``step`` (per-env; vmappable)."""
     done = out.terminated | out.truncated
     k_reset, k_carry = jax.random.split(new_state.key)
     reset_state, reset_obs = reset(k_reset, params)
@@ -383,3 +398,91 @@ def step_autoreset(
     )
     next_policy_obs = jnp.where(done, reset_obs, out.obs)
     return carried, out, next_policy_obs
+
+
+def step_autoreset(
+    state: EnvState, action: jnp.ndarray, params: EnvParams
+) -> tuple[EnvState, StepOutput, jnp.ndarray]:
+    """Step with masked in-place reset — the vmap replacement for Gym's episode loop.
+
+    Returns ``(carried_state, out, next_policy_obs)``:
+
+    - ``out.obs`` is the TRUE next observation of the (possibly finished)
+      episode step — what belongs in the replay buffer as next_obs;
+    - ``next_policy_obs`` is the observation to act on next step — equal to
+      ``out.obs`` unless the episode ended, in which case it is the first
+      observation of a freshly reset episode (new domain-randomization draw
+      from the env's own key chain, no host sync).
+    """
+    new_state, out = step(state, action, params)
+    return _finish_autoreset(new_state, out, params)
+
+
+def pallas_physics_ok(params: EnvParams) -> bool:
+    """Static check: the SoA Pallas kernel implements exactly the parity
+    physics (gravity quirk, gimbaled thrust, drag, damping, penalty
+    contact). The optional extra terms live only in the XLA integrator, so
+    any of them being on routes the batch through the vmapped path."""
+    r = params.rocket
+    return not (r.magnus_effect or r.ground_effect or r.gyroscopic)
+
+
+def batched_step_autoreset(
+    states: EnvState,
+    actions: jnp.ndarray,
+    params: EnvParams,
+    use_pallas: bool | None = None,
+    block_envs: int = 512,
+    interpret: bool = False,
+) -> tuple[EnvState, StepOutput, jnp.ndarray]:
+    """Whole-batch ``step_autoreset`` — the production N-env hot path.
+
+    Semantically identical to ``vmap(step_autoreset, in_axes=(0, 0, None))``
+    but with the rigid-body integrate done by the SoA Pallas kernel
+    (``ops.pallas_step``) as ONE whole-batch call: the vmapped XLA path keeps
+    state as (N, 3)/(N, 4) arrays where elementwise physics uses 3-4 of 128
+    VPU lanes; the kernel's (rows, N) layout uses all of them (+35% whole-app
+    on a v5e chip at N=4096). Pre/post stages (action conditioning, reward,
+    FSM, observation, autoreset) stay on the vmapped XLA path — they are
+    cheap and fuse well.
+
+    ``use_pallas=None`` auto-selects: the kernel runs when the backend is
+    TPU and no extra physics term is enabled (``pallas_physics_ok``); CPU
+    (tests, the multichip dryrun) and extended-physics configs fall back to
+    the vmapped path. All selection is static — no runtime branch.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and pallas_physics_ok(params)
+        )
+    if not use_pallas:
+        return jax.vmap(step_autoreset, in_axes=(0, 0, None))(
+            states, actions, params
+        )
+    if not pallas_physics_ok(params):
+        raise ValueError(
+            "use_pallas=True but an extra physics term (magnus/ground-effect/"
+            "gyroscopic) is enabled; the kernel implements parity physics only"
+        )
+    from tvc_ai_tpu.ops.pallas_step import step_pallas
+
+    action, gimbal, thrust_active, fuel, key, k_noise = jax.vmap(
+        _pre_physics, in_axes=(0, 0, None)
+    )(states, actions, params)
+    body = step_pallas(
+        states.body,
+        ThrustControl(gimbal=gimbal, thrust_active=thrust_active),
+        params.rocket,
+        mass=states.dr.mass,
+        thrust_scale=states.dr.thrust_scale,
+        cg_offset=states.dr.cg_offset,
+        wind=states.dr.wind,
+        block_envs=block_envs,
+        interpret=interpret,
+    )
+    new_state, out = jax.vmap(
+        _post_physics, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )(states, body, action, fuel, key, k_noise, params)
+    return jax.vmap(_finish_autoreset, in_axes=(0, 0, None))(
+        new_state, out, params
+    )

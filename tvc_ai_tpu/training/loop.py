@@ -73,6 +73,10 @@ class TrainLoopConfig:
     # 5000, forward(obs, sequence_length) hints an unused history mode)
     # becomes trainable through this.
     history_len: int = 1
+    # physics backend for the batched env step: None = auto (SoA Pallas
+    # kernel on TPU when no extra physics term is on, vmapped XLA path
+    # otherwise — see env.rocket_env.batched_step_autoreset)
+    use_pallas_physics: bool | None = None
     # capacity of the on-device finished-episode ring (most recent episodes'
     # (return, length, success) for the host-side reward-hacking detector,
     # restoring the reference's per-episode 100-window semantics
@@ -257,7 +261,11 @@ def make_train_iteration(
     pmean when the iteration is wrapped in ``shard_map`` over a device mesh
     (see ``parallel``).
     """
-    batched_step = jax.vmap(rocket_env.step_autoreset, in_axes=(0, 0, None))
+    def batched_step(states, actions, env_params):
+        return rocket_env.batched_step_autoreset(
+            states, actions, env_params,
+            use_pallas=loop_cfg.use_pallas_physics,
+        )
 
     def env_and_learn_step(carry: TrainCarry, _: Any, env_params: EnvParams):
         key = carry.key
