@@ -1,129 +1,84 @@
 """PyBullet trajectory parity gate (BASELINE config #1).
 
-Compares the JAX integrator against a PyBullet simulation constructed
-exactly like the reference env (cylinder body, analytic inertia, engine
-gravity + manual gravity double-apply, thrust at the base, exponential-
-atmosphere drag, angular damping — env/enhanced_rocket_tvc_env.py:324-585).
+Two execution modes, both driven by the packaged harness
+(``tvc_ai_tpu/eval/pybullet_parity.py``):
 
-PyBullet is NOT installed in the CI image (SURVEY notes it as third-party
-C++); the whole module skips cleanly there and runs wherever
-``import pybullet`` works. Free-flight and thrust phases are compared with
-tolerances; contact-phase parity is intentionally excluded (penalty contact
-vs LCP solver differ by design, documented in physics/types.py).
+- LIVE: wherever ``import pybullet`` works, every scenario is simulated
+  fresh in PyBullet (reference-identical scene,
+  env/enhanced_rocket_tvc_env.py:324-585) and compared to the JAX
+  integrator.
+- REPLAY: wherever a recorded golden fixture exists
+  (``tests/fixtures/pybullet_goldens.npz``, emitted by
+  ``python scripts/pybullet_goldens.py record`` on a pybullet-equipped
+  machine), the JAX integrator is checked against the recorded
+  trajectories — no pybullet needed, runs offline forever.
+
+PyBullet is NOT installable in the CI image (no network; SURVEY notes it as
+third-party C++), so LIVE skips there; REPLAY skips only until a fixture is
+recorded once. Contact-phase parity is intentionally excluded (penalty
+contact vs LCP solver differ by design, documented in physics/types.py).
 """
 
-import importlib.util
-import math
-
-import numpy as np
 import pytest
 
-HAS_PYBULLET = importlib.util.find_spec("pybullet") is not None
-
-pytestmark = pytest.mark.skipif(not HAS_PYBULLET, reason="pybullet not installed")
+from tvc_ai_tpu.eval import pybullet_parity as pp
 
 
-def pybullet_trajectory(actions, steps, start_pos=(0.0, 0.0, 10.0)):
-    import pybullet as p
-
-    cid = p.connect(p.DIRECT)
-    try:
-        p.setGravity(0, 0, -9.81)
-        p.setPhysicsEngineParameter(fixedTimeStep=0.02, numSubSteps=4)
-        mass, length, radius = 2.0, 1.0, 0.05
-        col = p.createCollisionShape(p.GEOM_CYLINDER, radius=radius, height=length)
-        body = p.createMultiBody(
-            baseMass=mass, baseCollisionShapeIndex=col, basePosition=start_pos
-        )
-        i_xx = (1 / 12) * mass * (3 * radius**2 + length**2)
-        i_zz = 0.5 * mass * radius**2
-        p.changeDynamics(body, -1, localInertiaDiagonal=[i_xx, i_xx, i_zz],
-                         linearDamping=0.01, angularDamping=0.02)
-        thrust = 35.0
-        traj = []
-        fuel = 1.0
-        for action in actions:
-            pos, orn = p.getBasePositionAndOrientation(body)
-            vel, ang = p.getBaseVelocity(body)
-            traj.append(np.array(list(pos) + list(orn) + list(vel) + list(ang)))
-            # manual gravity (the double-apply quirk)
-            p.applyExternalForce(body, -1, [0, 0, -9.81 * mass], pos, p.WORLD_FRAME)
-            if fuel > 0:
-                fuel = max(0.0, fuel - 0.001)
-                pitch, yaw = np.asarray(action) * math.radians(18.0)
-                local = np.array([
-                    thrust * math.sin(yaw),
-                    thrust * math.sin(pitch),
-                    thrust * math.cos(pitch) * math.cos(yaw),
-                ])
-                rot = np.array(p.getMatrixFromQuaternion(orn)).reshape(3, 3)
-                world = rot @ local
-                at = np.array(pos) + rot @ np.array([0, 0, -0.5])
-                p.applyExternalForce(body, -1, world.tolist(), at.tolist(),
-                                     p.WORLD_FRAME)
-            # aerodynamics
-            v = np.array(vel)
-            speed = np.linalg.norm(v)
-            rho = 1.225 * math.exp(-pos[2] / 8400)
-            if speed > 0.1:
-                drag = 0.5 * rho * speed**2 * 0.47 * math.pi * radius**2
-                p.applyExternalForce(body, -1, (-drag * v / speed).tolist(),
-                                     pos, p.WORLD_FRAME)
-            p.applyExternalTorque(body, -1, (-0.02 * rho * np.array(ang)).tolist(),
-                                  p.WORLD_FRAME)
-            p.stepSimulation()
-        return np.stack(traj)
-    finally:
-        p.disconnect(cid)
-
-
-def jax_trajectory(actions, steps, start_pos=(0.0, 0.0, 10.0)):
-    import jax.numpy as jnp
-
-    from tvc_ai_tpu.physics import (
-        RigidBodyState, RocketParams, ThrustControl, step,
+@pytest.mark.parametrize("scenario", pp.SCENARIOS, ids=lambda s: s.name)
+@pytest.mark.skipif(not pp.has_pybullet(), reason="pybullet not installed")
+def test_live_parity(scenario):
+    actions = scenario.actions()
+    result = pp.compare_trajectories(
+        pp.jax_trajectory(actions),
+        pp.pybullet_trajectory(actions),
+        scenario.pos_tol,
+        scenario.quat_dot_min,
     )
-
-    params = RocketParams(double_gravity=True)
-    state = RigidBodyState.create(pos=start_pos)
-    fuel = 1.0
-    traj = []
-    for action in actions:
-        traj.append(
-            np.concatenate([
-                np.asarray(state.pos), np.asarray(state.quat),
-                np.asarray(state.vel), np.asarray(state.omega),
-            ])
-        )
-        gimbal = jnp.asarray(np.asarray(action) * math.radians(18.0), jnp.float32)
-        state = step(
-            state,
-            ThrustControl(gimbal=gimbal, thrust_active=jnp.bool_(fuel > 0)),
-            params,
-        )
-        fuel = max(0.0, fuel - 0.001)
-    return np.stack(traj)
+    assert result["passed"], result
 
 
-@pytest.mark.parametrize(
-    "actions_fn,steps,pos_tol",
-    [
-        (lambda n: np.zeros((n, 2)), 50, 0.05),              # ballistic w/ thrust
-        (lambda n: np.full((n, 2), 0.2), 40, 0.08),           # constant gimbal
-        (
-            lambda n: 0.3 * np.sin(np.arange(n)[:, None] * [0.1, 0.17]),
-            40,
-            0.1,
-        ),                                                    # oscillating gimbal
-    ],
+@pytest.mark.skipif(
+    not pp.DEFAULT_FIXTURE.exists(),
+    reason=(
+        "no recorded golden fixture — run "
+        "`python scripts/pybullet_goldens.py record` on a pybullet machine "
+        "and check in tests/fixtures/pybullet_goldens.npz"
+    ),
 )
-def test_free_flight_parity(actions_fn, steps, pos_tol):
-    actions = actions_fn(steps)
-    ref = pybullet_trajectory(actions, steps)
-    ours = jax_trajectory(actions, steps)
-    # position parity
-    np.testing.assert_allclose(ours[:, :3], ref[:, :3], atol=pos_tol,
-                               err_msg="position")
-    # attitude parity (quaternion dot, sign-invariant)
-    dots = np.abs(np.sum(ours[:, 3:7] * ref[:, 3:7], axis=1))
-    assert dots.min() > 0.999, f"quaternion divergence: min dot {dots.min()}"
+def test_golden_replay():
+    report = pp.check_goldens()
+    assert report["passed"], report
+
+
+def test_fixture_roundtrip(tmp_path):
+    """The record→check plumbing itself (fixture format, scenario replay,
+    tolerance logic) is testable WITHOUT pybullet by recording the JAX
+    integrator's own trajectories as the 'golden' side — self-parity must
+    pass exactly, and a perturbed fixture must fail."""
+    import numpy as np
+
+    path = tmp_path / "goldens.npz"
+    payload = {
+        "fixture_version": np.int64(pp.FIXTURE_VERSION),
+        "start_pos": np.asarray(pp.START_POS),
+        "scenarios": np.asarray([s.name for s in pp.SCENARIOS[:2]]),
+    }
+    for sc in pp.SCENARIOS[:2]:
+        actions = sc.actions()
+        payload[f"{sc.name}/actions"] = actions
+        payload[f"{sc.name}/trajectory"] = pp.jax_trajectory(actions)
+        payload[f"{sc.name}/pos_tol"] = np.float64(sc.pos_tol)
+        payload[f"{sc.name}/quat_dot_min"] = np.float64(sc.quat_dot_min)
+    np.savez_compressed(path, **payload)
+
+    report = pp.check_goldens(path)
+    assert report["passed"], report
+    for result in report["scenarios"].values():
+        assert result["max_pos_err_m"] == 0.0
+
+    # a corrupted golden must be caught
+    bad = dict(payload)
+    name = pp.SCENARIOS[0].name
+    bad[f"{name}/trajectory"] = payload[f"{name}/trajectory"] + 1.0
+    np.savez_compressed(path, **bad)
+    assert not pp.check_goldens(path)["passed"]
