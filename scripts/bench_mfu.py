@@ -162,7 +162,11 @@ def main() -> int:
     jax.block_until_ready(metrics)
     elapsed = time.perf_counter() - t0
     steps_per_iter = loop_cfg.num_envs * loop_cfg.rollout_steps
-    updates_per_iter = loop_cfg.rollout_steps * loop_cfg.updates_per_step
+    updates_per_iter = (
+        loop_cfg.rollout_steps
+        // max(loop_cfg.update_interval, 1)
+        * loop_cfg.updates_per_step
+    )
     results["fused_train_iteration"] = {
         "metric": "fused_train_env_steps_per_sec",
         "value": steps_per_iter * args.iters / elapsed,

@@ -41,6 +41,42 @@ def test_fused_train_iteration():
 
 
 @pytest.mark.integration
+def test_update_interval_chunked_cadence():
+    """update_interval=K fires exactly rollout/K update events (each of
+    updates_per_step gradient steps) and still learns; K must divide
+    rollout_steps."""
+    env_params = EnvParams()
+    sac_cfg = SACConfig(
+        hidden_dims=(32, 32), batch_size=64, buffer_size=2048, learning_starts=32
+    )
+    loop_cfg = loop_mod.TrainLoopConfig(
+        num_envs=8, rollout_steps=16, updates_per_step=2, update_interval=4
+    )
+    carry = loop_mod.init_carry(jax.random.PRNGKey(0), env_params, sac_cfg, loop_cfg)
+    it = jax.jit(loop_mod.make_train_iteration(sac_cfg, loop_cfg))
+
+    carry, _ = it(carry, env_params)  # fills the buffer past learning_starts
+    steps_after_first = int(carry.agent.step)
+    p0 = jax.tree.leaves(carry.agent.actor_params)
+    carry, metrics = it(carry, env_params)
+    # one full iteration past learning_starts: (16/4) events × 2 updates
+    assert int(carry.agent.step) - steps_after_first == (16 // 4) * 2
+    assert int(jnp.sum(carry.env_steps)) == 8 * 32
+    p1 = jax.tree.leaves(carry.agent.actor_params)
+    assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
+    for k in ("critic_loss", "actor_loss", "reward_mean", "done_frac"):
+        assert np.isfinite(float(metrics[k])), k
+
+    with pytest.raises(ValueError, match="multiple"):
+        loop_mod.make_train_iteration(
+            sac_cfg,
+            loop_mod.TrainLoopConfig(
+                num_envs=8, rollout_steps=16, update_interval=5
+            ),
+        )
+
+
+@pytest.mark.integration
 def test_fused_loop_with_safety_and_curiosity():
     """Enhanced-env extensions fused into the train program."""
     env_params = EnvParams()

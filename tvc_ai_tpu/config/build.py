@@ -171,6 +171,7 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
                 cfg.training.total_timesteps
                 / max(cfg.training.num_envs, 1)
                 * cfg.training.updates_per_step
+                / max(cfg.training.update_interval, 1)
             ),
             1,
         ),
@@ -207,6 +208,7 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
         num_envs=t.num_envs,
         rollout_steps=t.rollout_steps,
         updates_per_step=t.updates_per_step,
+        update_interval=t.update_interval,
         obs_dim=OBS_DIM
         + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0),
         history_len=cfg.network.history_len,

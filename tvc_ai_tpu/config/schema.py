@@ -362,6 +362,10 @@ class TrainingConfig:
     num_envs: int = 4096
     rollout_steps: int = 128   # env steps per fused iteration
     updates_per_step: int = 1
+    # SAC updates fire every K env steps (1 = reference cadence). Raise it
+    # with batch_size scaled by the same factor to trade many small matmuls
+    # for few MXU-sized ones at equal sample budget (see loop.py)
+    update_interval: int = 1
     algorithm: str = "sac"     # sac | ppo | td3 | ensemble
     # physics backend for the batched env step: null/None = auto (SoA Pallas
     # kernel on TPU when no extended physics term is enabled, vmapped XLA

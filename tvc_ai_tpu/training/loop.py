@@ -43,7 +43,15 @@ class TrainLoopConfig:
 
     num_envs: int = 4096
     rollout_steps: int = 100        # env steps per jitted iteration (scan length)
-    updates_per_step: int = 1       # SAC gradient steps per env step
+    updates_per_step: int = 1       # SAC gradient steps per update event
+    # SAC updates fire every `update_interval` env steps (default 1 = every
+    # step, the reference's cadence). Raising it with a proportionally
+    # larger batch_size keeps the sample budget while replacing many small
+    # matmuls with few large ones — the MXU-utilization lever (VPU physics
+    # can't saturate the chip; big-batch critic/actor matmuls can). The
+    # rollout scan becomes rollout_steps/K chunks of K-1 sim-only steps + 1
+    # learning step; ICM/RND keep their per-step cadence.
+    update_interval: int = 1
     obs_dim: int = OBS_DIM
     action_dim: int = ACTION_DIM
     # enhanced-env extensions (ref live path: SafetyLayer at act time,
@@ -267,7 +275,9 @@ def make_train_iteration(
             use_pallas=loop_cfg.use_pallas_physics,
         )
 
-    def env_and_learn_step(carry: TrainCarry, _: Any, env_params: EnvParams):
+    def env_and_learn_step(
+        carry: TrainCarry, _: Any, env_params: EnvParams, learn: bool = True
+    ):
         key = carry.key
         if axis_name is not None:
             # decorrelate action noise / replay sampling across shards
@@ -407,12 +417,17 @@ def make_train_iteration(
                 "q2_mean": zero, "entropy": zero,
             }
 
-        agent, upd_metrics = jax.lax.cond(
-            buffer.size >= sac_cfg.learning_starts,
-            do_updates,
-            no_updates,
-            (carry.agent, k_update),
-        )
+        if learn:
+            agent, upd_metrics = jax.lax.cond(
+                buffer.size >= sac_cfg.learning_starts,
+                do_updates,
+                no_updates,
+                (carry.agent, k_update),
+            )
+        else:
+            # sim-only step of an update_interval>1 chunk: same metric
+            # pytree (zeros), no SAC update compiled in
+            agent, upd_metrics = no_updates((carry.agent, k_update))
 
         # --- episode bookkeeping (all on-device, per-env arrays)
         done = out.terminated | out.truncated
@@ -508,15 +523,49 @@ def make_train_iteration(
         )
         return new_carry, step_metrics
 
+    K = loop_cfg.update_interval
+    if loop_cfg.rollout_steps % max(K, 1) != 0:
+        raise ValueError(
+            f"rollout_steps ({loop_cfg.rollout_steps}) must be a multiple "
+            f"of update_interval ({K})"
+        )
+
     def train_iteration(carry: TrainCarry, env_params: EnvParams):
         iter_start = carry.env_steps[0]
-        carry, metrics = jax.lax.scan(
-            lambda c, x: env_and_learn_step(c, x, env_params),
-            carry,
-            None,
-            length=loop_cfg.rollout_steps,
-        )
-        metrics = jax.tree.map(jnp.mean, metrics)
+        if K <= 1:
+            carry, metrics = jax.lax.scan(
+                lambda c, x: env_and_learn_step(c, x, env_params),
+                carry,
+                None,
+                length=loop_cfg.rollout_steps,
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+        else:
+            # chunked cadence: K-1 sim-only steps, then one learning step —
+            # update metrics come from the learning step alone (zeros from
+            # sim-only steps would dilute them), env metrics average over
+            # the whole chunk
+            def chunk(c, _):
+                c, sim_metrics = jax.lax.scan(
+                    lambda cc, x: env_and_learn_step(
+                        cc, x, env_params, learn=False
+                    ),
+                    c,
+                    None,
+                    length=K - 1,
+                )
+                c, learn_metrics = env_and_learn_step(c, None, env_params)
+                merged = dict(learn_metrics)
+                for name in ("reward_mean", "done_frac"):
+                    merged[name] = (
+                        jnp.sum(sim_metrics[name]) + learn_metrics[name]
+                    ) / K
+                return c, merged
+
+            carry, metrics = jax.lax.scan(
+                chunk, carry, None, length=loop_cfg.rollout_steps // K
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
         if loop_cfg.use_hierarchical:
             # REINFORCE on THIS iteration's finished episodes (on-policy for
             # the goal policy; older ring entries are masked out)
