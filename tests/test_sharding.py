@@ -140,3 +140,62 @@ def test_sharded_ensemble_members_replicate():
     assert np.std(alt) > 0.0
     summary_steps = int(np.sum(np.asarray(jax.device_get(carry.env_steps))))
     assert summary_steps == 16 * 8 * 3
+
+
+@pytest.mark.integration
+@pytest.mark.slow
+def test_sharded_ensemble_replication_soak():
+    """Replication SOAK: a few hundred sharded ensemble iterations (cycling
+    every acting algorithm, incl. the blended actor) must keep all three
+    members' params bit-identical across the 8 shards. One iteration can
+    hide a drift source that only manifests once replay wraps, PPO
+    re-segments, or optimizer state accumulates — this runs long enough for
+    all three."""
+    from tvc_ai_tpu.agents import ensemble as ens
+    from tvc_ai_tpu.agents.td3 import TD3Config
+    from tvc_ai_tpu.agents.ppo import PPOConfig
+
+    mesh = mesh_mod.make_mesh()
+    env_params = EnvParams()
+    ens_cfg = ens.EnsembleConfig(
+        sac=SACConfig(
+            hidden_dims=(16, 16), batch_size=16, buffer_size=2048,
+            learning_starts=32,
+        ),
+        td3=TD3Config(hidden_dims=(16, 16), batch_size=16),
+        ppo=PPOConfig(hidden_dims=(16, 16), n_epochs=2, num_minibatches=2),
+    )
+    init_fn, train_fns = mesh_mod.make_sharded_ensemble_train(
+        mesh, env_params, ens_cfg, num_envs=16, rollout_steps=8,
+        updates_per_step=1,
+    )
+    carry = init_fn(jax.random.PRNGKey(7))
+    weights = jax.numpy.asarray([0.5, 0.3, 0.2], jax.numpy.float32)
+
+    actors = ("sac", "ppo", "td3", "ensemble")
+    iters = 240  # replay (2048/8=256 per shard) wraps many times over
+    for i in range(iters):
+        carry, metrics = train_fns[actors[i % len(actors)]](
+            carry, weights, env_params
+        )
+        if i % 60 == 59:  # periodic mid-soak replication checks
+            for member in (carry.sac.actor_params, carry.td3.actor_params,
+                           carry.ppo.actor_params):
+                leaf = jax.tree.leaves(member)[0]
+                shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+                for s in shards[1:]:
+                    np.testing.assert_array_equal(shards[0], s)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+    # final: EVERY leaf of every member (params + critics + opt state)
+    for member in (carry.sac.actor_params, carry.sac.critic_params,
+                   carry.td3.actor_params, carry.td3.critic_params,
+                   carry.ppo.actor_params,
+                   carry.sac.actor_opt, carry.td3.actor_opt):
+        for leaf in jax.tree.leaves(member):
+            shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+            for s in shards[1:]:
+                np.testing.assert_array_equal(shards[0], s)
+    summary_steps = int(np.sum(np.asarray(jax.device_get(carry.env_steps))))
+    assert summary_steps == 16 * 8 * iters
