@@ -37,6 +37,10 @@ def main() -> int:
                         help="enable the 4 trim-observation channels (obs "
                              "10→14) for policies trained with "
                              "env.trim_observation.enabled")
+    parser.add_argument("--trim_mode", choices=["ema", "integral"],
+                        default="ema",
+                        help="trim-channel estimator the policy was trained "
+                             "with (env.trim_observation.mode)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -66,13 +70,13 @@ def main() -> int:
     if args.suite == "all":
         results = run_all_suites(
             agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
-            args.rocket_mass, args.history, args.trim_obs,
+            args.rocket_mass, args.history, args.trim_obs, args.trim_mode,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
-            args.rocket_mass, args.history, args.trim_obs,
+            args.rocket_mass, args.history, args.trim_obs, args.trim_mode,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}

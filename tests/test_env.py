@@ -479,6 +479,51 @@ class TestTrimObservation:
         assert np.allclose(np.asarray(state.trim), 0.0)
         assert np.allclose(np.asarray(npo[-4:]), 0.0)
 
+    def test_integral_mode_holds_after_error_vanishes(self):
+        # the integral channel must HOLD its accumulated value when the
+        # presented tilt reading returns to zero (an EMA decays back — the
+        # failure mode that left CG-axis robustness at 0% in round 3's first
+        # campaign), and must respect the anti-windup clip
+        import dataclasses as dc
+
+        p = dc.replace(self._params(), trim_obs_integral=True)
+        state, _ = rocket_env.reset(jax.random.PRNGKey(0), p)
+        gain = 1.0 - float(p.trim_obs_decay)
+        # inject a synthetic trim history, then step with a state whose
+        # reading is ~0 (fresh vertical reset has qx=qy≈0, no noise draw
+        # changes sign systematically)
+        p0 = dc.replace(p, randomization=RandomizationConfig())
+        state = dc.replace(state, trim=jnp.array([0.2, -0.1, 0.0, 0.0], jnp.float32))
+        step = jax.jit(rocket_env.step)
+        state2, out = step(state, jnp.zeros(2), p0)
+        held = np.asarray(state2.trim[:2])
+        assert np.allclose(held, [0.2, -0.1], atol=gain * 0.05)
+        # EMA mode would have decayed by factor d — assert we did NOT
+        assert abs(held[0] - 0.99 * 0.2) > 1e-4 or abs(held[0] - 0.2) < 1e-3
+        # clip: a saturated integral stays at the bound
+        state = dc.replace(state, trim=jnp.array([0.5, 0.5, 0.0, 0.0], jnp.float32))
+        state3, _ = step(state, jnp.zeros(2), p0)
+        assert np.all(np.asarray(state3.trim[:2]) <= float(p.trim_obs_clip) + 1e-6)
+
+    def test_integral_mode_config_wired(self):
+        from tvc_ai_tpu.config import load_config
+        from tvc_ai_tpu.config.build import build_env_params
+
+        cfg = load_config(None, overrides=[
+            "env.trim_observation.enabled=true",
+            "env.trim_observation.mode=integral",
+        ])
+        p = build_env_params(cfg)
+        assert p.trim_obs_integral
+        cfg_ema = load_config(None, overrides=["env.trim_observation.enabled=true"])
+        assert not build_env_params(cfg_ema).trim_obs_integral
+        import pytest
+
+        with pytest.raises(ValueError, match="trim_observation.mode"):
+            build_env_params(load_config(None, overrides=[
+                "env.trim_observation.mode=typo",
+            ]))
+
     def test_disabled_is_ten_dim_and_config_wired(self):
         state, obs = rocket_env.reset(jax.random.PRNGKey(0), EnvParams())
         assert obs.shape == (OBS_DIM,)

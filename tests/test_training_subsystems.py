@@ -68,6 +68,11 @@ def test_curriculum_env_overlay():
 
 
 def test_curriculum_state_roundtrip():
+    """Progress (stage, counters) round-trips; the rolling windows are
+    deliberately DROPPED on load — a checkpoint may be resumed into a
+    different campaign (new stages / promotion gate) where inherited
+    evidence would promote spuriously on the first post-resume eval
+    (round 3: a 100%-nominal window resumed into a DR campaign)."""
     cfg = FrameworkConfig()
     cm = CurriculumManager(cfg)
     cm.update(50, 0.5)
@@ -75,7 +80,10 @@ def test_curriculum_state_roundtrip():
     cm2 = CurriculumManager(cfg)
     cm2.load_state_dict(state)
     assert cm2.episodes_in_stage == cm.episodes_in_stage
-    assert list(cm2.success_window) == list(cm.success_window)
+    assert cm2.stage_idx == cm.stage_idx
+    assert cm2.steps_in_stage == cm.steps_in_stage
+    assert list(cm2.success_window) == []
+    assert list(cm2.eval_window) == []
 
 
 # ---------------------------------------------------------------- hacking
@@ -314,12 +322,13 @@ def test_curriculum_eval_driven_promotion():
     # low evals never promote
     for _ in range(10):
         assert not cm.update_eval(0.1)
-    # state roundtrips the eval window
+    # state preserves the stage; the eval window is dropped on load (stale
+    # evidence must not promote a resumed run — see test_curriculum_state_roundtrip)
     cm.update_eval(0.5)
     d = cm.state_dict()
     cm2 = CurriculumManager(cfg)
     cm2.load_state_dict(d)
-    assert list(cm2.eval_window) == list(cm.eval_window)
+    assert list(cm2.eval_window) == []
     assert cm2.stage.name == cm.stage.name
 
 

@@ -119,6 +119,10 @@ def build_env_params(
         max_altitude=jnp.float32(sc.max_altitude),
     )
     trim = e.trim_observation
+    if trim.mode not in ("ema", "integral"):
+        raise ValueError(
+            f"env.trim_observation.mode={trim.mode!r} (want 'ema'|'integral')"
+        )
     return EnvParams(
         rocket=rocket,
         randomization=rnd,
@@ -129,6 +133,8 @@ def build_env_params(
         trim_obs_enabled=trim.enabled,
         trim_obs_decay=jnp.float32(trim.decay),
         trim_obs_tilt_scale=jnp.float32(trim.tilt_scale),
+        trim_obs_integral=trim.mode == "integral",
+        trim_obs_clip=jnp.float32(trim.integral_clip),
     )
 
 

@@ -425,6 +425,11 @@ class TrimObservationConfig:
     enabled: bool = False
     decay: float = 0.99        # EMA decay per control step (~100-step window)
     tilt_scale: float = 10.0   # observation scaling on the tilt-EMA pair
+    # "ema" (decaying average) or "integral" (clipped integrator on the tilt
+    # pair — PI-style trim memory; holds the accumulated error instead of
+    # decaying it away once the policy trims out)
+    mode: str = "ema"
+    integral_clip: float = 0.5  # anti-windup bound on the raw tilt integral
 
 
 @dataclass

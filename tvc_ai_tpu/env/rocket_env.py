@@ -272,7 +272,18 @@ def _post_physics(
     trim = state.trim
     if params.trim_obs_enabled:
         d = params.trim_obs_decay
-        trim = d * trim + (1.0 - d) * jnp.concatenate([obs[:2], action])
+        if params.trim_obs_integral:
+            # clipped integrator on the tilt pair (holds the accumulated
+            # error = the trim), EMA on the commanded-action pair
+            tilt_i = jnp.clip(
+                trim[:2] + (1.0 - d) * obs[:2],
+                -params.trim_obs_clip,
+                params.trim_obs_clip,
+            )
+            act_ema = d * trim[2:] + (1.0 - d) * action
+            trim = jnp.concatenate([tilt_i, act_ema])
+        else:
+            trim = d * trim + (1.0 - d) * jnp.concatenate([obs[:2], action])
         obs = _append_trim(obs, trim, params)
 
     # 5. mission FSM + success window (post-physics quantities)

@@ -244,6 +244,18 @@ class EnvParams:
     trim_obs_tilt_scale: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(10.0)
     )
+    # integral mode (trim_observation.mode="integral"): the tilt pair becomes
+    # a clipped INTEGRAL of the presented reading instead of an EMA. An EMA
+    # decays back to zero once the policy trims out, erasing exactly the
+    # state it was meant to carry; a clipped integrator converges to (gain ×
+    # accumulated error) and HOLDS it — the classic PI trim memory for
+    # constant-disturbance rejection (measured: EMA channels left CG-axis
+    # robustness at 0%, RESULTS.md r3). Per-step gain is (1 - decay); the
+    # clip bounds the raw integral (anti-windup).
+    trim_obs_integral: bool = struct.field(pytree_node=False, default=False)
+    trim_obs_clip: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.5)
+    )
 
 
 @struct.dataclass

@@ -44,6 +44,7 @@ def _suite_env_params(
     trim_obs: bool = False,
     trim_decay: float = 0.99,
     trim_scale: float = 10.0,
+    trim_mode: str = "ema",
 ) -> EnvParams:
     """Suite env construction. ``rocket_mass`` defaults to the enhanced
     generation's nominal 2.0 kg (what current policies train on); pass 1.5
@@ -74,6 +75,7 @@ def _suite_env_params(
             trim_obs_enabled=True,
             trim_obs_decay=jnp.float32(trim_decay),
             trim_obs_tilt_scale=jnp.float32(trim_scale),
+            trim_obs_integral=trim_mode == "integral",
         )
     return params
 
@@ -91,9 +93,12 @@ def run_suite(
     rocket_mass: float = 2.0,
     history_len: int = 1,
     trim_obs: bool = False,
+    trim_mode: str = "ema",
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
-    env_params = _suite_env_params(name, rocket_mass, trim_obs=trim_obs)
+    env_params = _suite_env_params(
+        name, rocket_mass, trim_obs=trim_obs, trim_mode=trim_mode
+    )
     eval_fn = jax.jit(
         make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim, history_len=history_len)
     )
@@ -112,6 +117,7 @@ def run_all_suites(
     rocket_mass: float = 2.0,
     history_len: int = 1,
     trim_obs: bool = False,
+    trim_mode: str = "ema",
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -120,7 +126,7 @@ def run_all_suites(
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass,
-            history_len, trim_obs,
+            history_len, trim_obs, trim_mode,
         )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")

@@ -169,11 +169,14 @@ class CurriculumManager:
         self.stage_idx = int(d.get("stage_idx", 0))
         self.episodes_in_stage = int(d.get("episodes_in_stage", 0))
         self.steps_in_stage = int(d.get("steps_in_stage", 0))
-        self.success_window = deque(
-            d.get("success_window", []), maxlen=self.cur.stability_window
-        )
+        # the rolling windows are SIGNAL buffers, not progress: a checkpoint
+        # may be resumed into a different campaign (new stages / promotion
+        # gate), where inherited evidence would promote spuriously on the
+        # first post-resume eval (measured: a 100%-nominal window resumed
+        # into a DR campaign). They refill within a few evals.
+        self.success_window = deque([], maxlen=self.cur.stability_window)
         self.eval_window = deque(
-            d.get("eval_window", []), maxlen=max(3, self.cur.stability_window // 10)
+            [], maxlen=max(3, self.cur.stability_window // 10)
         )
         self.history = list(d.get("history", []))
 

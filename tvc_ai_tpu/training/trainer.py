@@ -143,6 +143,13 @@ class Trainer:
                 cfg.training.eval_sensor_noise
             )
             self.robust_eval_env_params = build_env_params(robust_cfg)
+        # third eval: the CURRENT curriculum stage's conditions at dr_prob=1
+        # ("stage eval") — the promotion gate. Round 3 measured the nominal
+        # eval promoting through every DR stage at 100% while in-distribution
+        # success never left the ~(1-dr_prob) nominal share: the DR episodes
+        # themselves never succeeded. Promotion must be earned on the stage's
+        # own distribution.
+        self.stage_eval_env_params = self._build_stage_eval_params()
 
         # ---- device program(s)
         self.devices = jax.devices()
@@ -205,7 +212,7 @@ class Trainer:
             self.output_dir / "checkpoints_best_nominal", max_to_keep=2
         )
         self.best_metric = float("-inf")
-        self.best_nominal_metric = float("-inf")
+        self.best_nominal_key = (float("-inf"), float("-inf"))
         self.best_significant_metric = float("-inf")
         self.eval_rounds_since_improvement = 0
         self.iteration = 0
@@ -224,7 +231,7 @@ class Trainer:
         return {
             "iteration": self.iteration,
             "best_metric": self.best_metric,
-            "best_nominal_metric": self.best_nominal_metric,
+            "best_nominal_key": list(self.best_nominal_key),
             "best_significant_metric": self.best_significant_metric,
             "curriculum": self.curriculum.state_dict(),
             "stability": self.stability.state_dict(),
@@ -296,15 +303,24 @@ class Trainer:
             # inherited from a different eval regime (e.g. sterile → noisy)
             # would silently suppress all best saves — start best tracking anew
             self.best_metric = float("-inf")
-        self.best_nominal_metric = float(
-            host.get("best_nominal_metric", float("-inf"))
-        )
+        key = host.get("best_nominal_key")
+        if key is None:
+            # pre-round-3 checkpoints stored a scalar best_nominal_metric
+            key = [host.get("best_nominal_metric", float("-inf")),
+                   float("-inf")]
+        self.best_nominal_key = (float(key[0]), float(key[1]))
         if self.ckpt_best_nominal.latest_step() is None:
-            self.best_nominal_metric = float("-inf")
+            self.best_nominal_key = (float("-inf"), float("-inf"))
         self.best_significant_metric = float(
             host.get("best_significant_metric", self.best_metric)
         )
         self.curriculum.load_state_dict(host.get("curriculum", {}))
+        # the restored stage may differ from the constructor's stage 0 —
+        # re-derive the training env and the stage-eval (promotion gate) env
+        self.env_params = build_env_params(
+            self.cfg, self.curriculum.get_environment_config()
+        )
+        self.stage_eval_env_params = self._build_stage_eval_params()
         self.stability.load_state_dict(host.get("stability", {}))
         self._last_episodes = int(host.get("last_episodes", 0))
         self._last_successes = int(host.get("last_successes", 0))
@@ -433,6 +449,7 @@ class Trainer:
             if self.curriculum.update(ep_delta, rate, steps_per_iter):
                 stage = self.curriculum.get_environment_config()
                 self.env_params = build_env_params(self.cfg, stage)
+                self.stage_eval_env_params = self._build_stage_eval_params()
                 self.logger.info(
                     "curriculum advanced to stage %d (%s)",
                     self.curriculum.stage_idx,
@@ -497,24 +514,35 @@ class Trainer:
                     if "eval_robust_success_rate" in eval_metrics
                     else ""
                 )
+                stage_part = (
+                    " stage %.2f%%"
+                    % (100 * eval_metrics["eval_stage_success_rate"])
+                    if "eval_stage_success_rate" in eval_metrics
+                    else ""
+                )
                 self.logger.info(
-                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%%s",
+                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%%s%s",
                     f"{self.env_steps:,}",
                     100 * eval_metrics["eval_success_rate"],
                     eval_metrics["eval_reward_mean"],
                     100 * eval_metrics["eval_crash_rate"],
                     robust_part,
+                    stage_part,
                 )
                 # eval-driven curriculum promotion (the reference's signal:
-                # curriculum_manager.py:248 takes eval_metrics; training-
-                # rollout success under stochastic actions rarely clears the
-                # 100-consecutive-step criterion, so this is the path that
-                # actually promotes in practice)
+                # curriculum_manager.py:248 takes eval_metrics). Gated on the
+                # STAGE eval (the stage's own DR at dr_prob=1) when one
+                # exists: the nominal eval promoted every round-3 DR stage at
+                # 100% while the DR episodes themselves never succeeded.
                 if self.curriculum.update_eval(
-                    eval_metrics["eval_success_rate"]
+                    eval_metrics.get(
+                        "eval_stage_success_rate",
+                        eval_metrics["eval_success_rate"],
+                    )
                 ):
                     stage = self.curriculum.get_environment_config()
                     self.env_params = build_env_params(self.cfg, stage)
+                    self.stage_eval_env_params = self._build_stage_eval_params()
                     self.logger.info(
                         "curriculum advanced to stage %d (%s) [eval-driven]",
                         self.curriculum.stage_idx,
@@ -525,20 +553,35 @@ class Trainer:
                 # DR training the two diverge sharply, and the robust metric
                 # staying at 0 would otherwise discard every nominal peak —
                 # measured loss of a 100%-nominal policy that way)
+                # lexicographic (nominal, robust-or-stage) key: a nominal
+                # metric that saturates at 1.0 early must not freeze the
+                # capture — round 3 lost a far more robust 100%-nominal
+                # policy because best-nominal had hit 1.000 at 8.6M steps
+                # and every later 100% eval tied
+                nominal_key = (
+                    eval_metrics["eval_success_rate"],
+                    eval_metrics.get(
+                        "eval_robust_success_rate",
+                        eval_metrics.get(
+                            "eval_stage_success_rate", float("-inf")
+                        ),
+                    ),
+                )
                 if (
                     cfg.early_stopping.metric != "eval_success_rate"
                     and cfg.checkpointing.save_best
-                    and eval_metrics["eval_success_rate"]
-                    > self.best_nominal_metric
+                    and nominal_key > self.best_nominal_key
                 ):
-                    self.best_nominal_metric = eval_metrics["eval_success_rate"]
+                    self.best_nominal_key = nominal_key
                     with self.timer.stage("checkpoint"):
                         self.ckpt_best_nominal.save(
                             self.env_steps, self.carry, self._host_state()
                         )
                     self.logger.info(
-                        "new best eval_success_rate=%.3f — nominal checkpoint saved",
-                        self.best_nominal_metric,
+                        "new best (eval_success_rate=%.3f, tiebreak=%.3f) "
+                        "— nominal checkpoint saved",
+                        nominal_key[0],
+                        nominal_key[1],
                     )
                 metric = eval_metrics.get(
                     cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
@@ -588,6 +631,25 @@ class Trainer:
         return "total_timesteps"
 
     # ------------------------------------------------------------------ eval
+    def _build_stage_eval_params(self):
+        """Promotion-gate eval env: the current stage's DR at dr_prob=1 (None
+        when curriculum is off/graduated or DR disabled — then the nominal
+        eval gates promotion, which is correct for nominal-only stages)."""
+        stage = self.curriculum.get_environment_config()
+        if stage is None or not self.cfg.env.domain_randomization.enabled:
+            return None
+        import copy
+
+        stage = copy.deepcopy(stage)
+        if stage.dr_prob is not None:
+            stage.dr_prob = 1.0
+        stage_cfg = copy.deepcopy(self.cfg)
+        stage_cfg.env.domain_randomization.dr_prob = 1.0
+        stage_cfg.env.domain_randomization.sensor_noise_enabled = (
+            self.cfg.training.eval_sensor_noise
+        )
+        return build_env_params(stage_cfg, stage)
+
     def evaluate(self) -> dict[str, float]:
         # evaluate the EMA (Polyak) actor when enabled — the stable estimator
         # of the policy the optimizer is orbiting (sac.eval_actor_view)
@@ -608,4 +670,12 @@ class Trainer:
                 {k.replace("eval_", "eval_robust_", 1): v
                  for k, v in robust.items()}
             )
+        if self.stage_eval_env_params is not None:
+            stage = summarize_stats(
+                self._eval_fn(
+                    agent, self._next_key(), self.stage_eval_env_params
+                )
+            )
+            metrics["eval_stage_success_rate"] = stage["eval_success_rate"]
+            metrics["eval_stage_reward_mean"] = stage["eval_reward_mean"]
         return metrics
