@@ -55,6 +55,21 @@ def test_trainer_end_to_end_and_resume(tmp_path):
     )
     assert metrics["env_steps"] == result2["env_steps"]
 
+    # resume also accepts a single STEP directory (warm-starting a new
+    # campaign from another run's exact best checkpoint)
+    import os
+
+    step_dirs = sorted(
+        d for d in os.listdir(tmp_path / "run1" / "checkpoints")
+        if d.isdigit()
+    )
+    t3 = Trainer(
+        tiny_cfg(tmp_path, total=4096),
+        output_dir=tmp_path / "run3",
+        resume=tmp_path / "run1" / "checkpoints" / step_dirs[0],
+    )
+    assert t3.env_steps == int(step_dirs[0])
+
 
 def test_robust_metric_requires_robust_eval(tmp_path):
     """early_stopping.metric=eval_robust_* without the robust eval would

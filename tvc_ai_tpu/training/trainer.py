@@ -252,8 +252,17 @@ class Trainer:
         (rollout_steps, updates_per_step, batch_size) do take effect."""
         from flax import serialization
 
-        mngr = CheckpointManager(Path(resume_dir))
-        step = mngr.latest_step()
+        resume_dir = Path(resume_dir)
+        # accept either a manager root (resumes the latest step) or a single
+        # step directory like <run>/checkpoints_best_nominal/7208960
+        # (resumes exactly that step — e.g. warm-starting a new campaign
+        # from another run's best checkpoint)
+        step_override: int | None = None
+        if resume_dir.name.isdigit() and (resume_dir / "carry").exists():
+            step_override = int(resume_dir.name)
+            resume_dir = resume_dir.parent
+        mngr = CheckpointManager(resume_dir)
+        step = step_override if step_override is not None else mngr.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"no completed checkpoints under {resume_dir} (a process killed "
