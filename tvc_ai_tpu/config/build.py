@@ -110,6 +110,7 @@ def build_env_params(
         target_altitude=jnp.float32(r.target_altitude),
         survival_normalized_success=r.survival_normalized_success,
         survival_success_scale=jnp.float32(r.survival_success_scale),
+        equilibrium_relative_shaping=r.equilibrium_relative_shaping,
     )
     sc = cfg.safety.constraints
     termination = TerminationConfig(

@@ -272,6 +272,9 @@ class RewardSection:
     # the payout window covers the descent phase whose step rewards are
     # depressed, so >1 keeps success strictly dominant over edge-hovering
     survival_success_scale: float = 1.0
+    # privileged training-only shaping: dense tilt terms measured against
+    # the per-episode hover equilibrium (see env/types.py RewardConfig)
+    equilibrium_relative_shaping: bool = False
 
 
 @dataclass

@@ -297,11 +297,22 @@ def _post_physics(
     mission_success = state.mission_success | completed | window_success
 
     # 6. reward with PRE-update phase & success flag (ref stale state_dict)
+    # Optional privileged shaping: measure the dense tilt terms against the
+    # per-episode hover equilibrium (body axis s.t. the gimbal->CG line is
+    # world-vertical) instead of upright — see RewardConfig.
+    # equilibrium_relative_shaping. Success/termination keep the true tilt.
+    reward_tilt = tilt
+    if params.reward.equilibrium_relative_shaping:
+        gimbal_to_cg = state.dr.cg_offset - params.rocket.thrust_offset
+        bhat = gimbal_to_cg / jnp.linalg.norm(gimbal_to_cg)
+        reward_tilt = jnp.arccos(
+            jnp.clip(quat.rotate(body.quat, bhat)[..., 2], -1.0, 1.0)
+        )
     total_reward, reward_window, reward_window_len, components = (
         reward_mod.compute_reward(
             params.reward,
             altitude=altitude,
-            tilt=tilt,
+            tilt=reward_tilt,
             angular_velocity_mag=ang_mag,
             fuel=fuel,
             crashed=crashed,

@@ -190,6 +190,19 @@ class RewardConfig:
     survival_success_scale: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(1.0)
     )
+    # Privileged equilibrium-relative shaping (training-only knowledge; the
+    # success criterion and termination always use the true tilt). With a
+    # lateral CG offset the unique hover equilibrium tilts the BODY by
+    # atan(|cg_xy| / gimbal-to-CG distance); shaping the dense tilt terms
+    # toward UPRIGHT therefore pulls the policy away from the only attitude
+    # that can pass the strict success window (RESULTS.md r3 feasibility
+    # ceiling). When enabled, the reward's tilt input is measured relative
+    # to that per-episode equilibrium axis instead of world-up. Uses the
+    # episode's true cg draw — privileged information, standard asymmetric
+    # training practice; the POLICY never sees it.
+    equilibrium_relative_shaping: bool = struct.field(
+        pytree_node=False, default=False
+    )
 
 
 @struct.dataclass

@@ -23,7 +23,7 @@ from tvc_ai_tpu.agents import ensemble as ens
 from tvc_ai_tpu.agents import ppo as ppo_mod
 from tvc_ai_tpu.agents import sac as sac_mod
 from tvc_ai_tpu.agents import td3 as td3_mod
-from tvc_ai_tpu.config.build import build_env_params
+from tvc_ai_tpu.config.build import build_env_params, build_sac_config
 from tvc_ai_tpu.config.schema import FrameworkConfig
 from tvc_ai_tpu.env.types import ACTION_DIM
 from tvc_ai_tpu.eval.rollout import make_policy_eval_fn, summarize_stats
@@ -39,18 +39,11 @@ def build_ensemble_config(cfg: FrameworkConfig) -> ens.EnsembleConfig:
         algorithms=tuple(a.ensemble.algorithms),
         selection_strategy=a.ensemble.selection_strategy,
         performance_window=a.ensemble.performance_window,
-        sac=sac_mod.SACConfig(
-            hidden_dims=tuple(a.sac.hidden_dims),
-            lr_actor=a.sac.lr_actor,
-            lr_critic=a.sac.lr_critic,
-            lr_alpha=a.sac.lr_alpha,
-            gamma=a.sac.gamma,
-            tau=a.sac.tau,
-            batch_size=a.sac.batch_size,
-            buffer_size=a.sac.buffer_size,
-            learning_starts=a.sac.learning_starts,
-            gradient_clip_norm=a.sac.grad_clip_norm,
-        ),
+        # the FULL solo-path SAC config (an earlier inline copy dropped
+        # ent_coef/auto-entropy, ema_decay, reward_scale and compute_dtype —
+        # the member ran auto-alpha which exploded to 27 within 6M steps,
+        # the exact precision-killer RESULTS.md r2 item 8 documents)
+        sac=build_sac_config(cfg),
         td3=td3_mod.TD3Config(
             hidden_dims=tuple(a.td3.hidden_dims),
             lr=a.td3.learning_rate,
@@ -258,8 +251,14 @@ class EnsembleTrainer:
     def evaluate(self) -> dict[str, float]:
         """Evaluate every member's deterministic policy (one call each)."""
         out: dict[str, float] = {}
+        # the SAC member evaluates its EMA (Polyak) actor when enabled —
+        # the same stable estimator the solo trainer uses
         members = {
-            "sac": self.carry.sac, "td3": self.carry.td3, "ppo": self.carry.ppo
+            "sac": sac_mod.eval_actor_view(
+                jax.device_get(self.carry.sac), self.ens_cfg.sac
+            ),
+            "td3": self.carry.td3,
+            "ppo": self.carry.ppo,
         }
         for name, state in members.items():
             stats = self._eval_fns[name](
