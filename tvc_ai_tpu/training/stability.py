@@ -139,6 +139,11 @@ def reinit_dormant_units(
     kernel columns of units whose probe activity is below threshold, capped
     at ``max_ratio`` of units per invocation.
     """
+    if "hidden_0" not in params.get("params", {}):
+        # dormant-unit surgery targets the MLP trunk's first Dense layer;
+        # other architectures (transformer policy) have no such layer —
+        # no-op rather than guessing at module internals
+        return params
     dense0 = params["params"]["hidden_0"]
     kernel, bias = dense0["kernel"], dense0["bias"]
     pre = probe_obs @ kernel + bias
