@@ -66,7 +66,11 @@ def build_env_params(
         init_tilt_max=jnp.float32(
             stage.initial_tilt_max if stage else dr.init_tilt_max
         ),
-        init_omega_max=jnp.float32(dr.init_omega_max),
+        init_omega_max=jnp.float32(
+            stage.initial_omega_max
+            if stage and stage.initial_omega_max is not None
+            else dr.init_omega_max
+        ),
         init_pos_jitter=jnp.float32(dr.init_pos_jitter),
         dr_prob=jnp.float32(
             stage.dr_prob

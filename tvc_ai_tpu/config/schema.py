@@ -294,6 +294,12 @@ class CurriculumStage:
     thrust_variation: float | None = None
     cg_offset_max: float | None = None
     dr_prob: float | None = None
+    # initial angular-rate randomization (rad/s). Distinct from tilt: a CG
+    # offset spins the rocket up within ~2 control steps of an upright
+    # start, so surviving it requires the instant omega-counter skill that
+    # upright-start training never teaches (diagnose_cg.py r3 finding:
+    # tip-over in 10 steps at cg 0.025).
+    initial_omega_max: float | None = None
 
 
 def default_stages() -> list[CurriculumStage]:
