@@ -83,6 +83,16 @@ def main() -> int:
         rows = []
         success_steps = 0
         term_reason = "horizon"
+        # thresholds come from the env's SuccessConfig (single source of
+        # truth) so the forensic verdicts track any criteria change
+        crit_cfg = params.success
+        max_tilt = float(crit_cfg.max_tilt_angle)
+        max_ang = float(crit_cfg.max_angular_velocity)
+        max_hvel = float(crit_cfg.max_horizontal_velocity)
+        max_vvel = float(crit_cfg.max_vertical_velocity)
+        min_alt, max_alt = float(crit_cfg.min_altitude), float(crit_cfg.max_altitude)
+        tilt = hvel = ang = 0.0
+        alt = float(params.init_pos[2])
         for t in range(args.steps):
             a = sac_mod.select_action(
                 agent, window[None], jax.random.PRNGKey(t), sac_cfg, 2, True
@@ -94,11 +104,11 @@ def main() -> int:
             ang = float(jnp.linalg.norm(body.omega))
             alt = float(body.pos[2])
             ok = (
-                tilt <= 0.087
-                and ang <= 0.1
-                and hvel <= 0.5
-                and abs(float(body.vel[2])) <= 2.0
-                and 0.2 <= alt <= 2.0
+                tilt <= max_tilt
+                and ang <= max_ang
+                and hvel <= max_hvel
+                and abs(float(body.vel[2])) <= max_vvel
+                and min_alt <= alt <= max_alt
             )
             success_steps = success_steps + 1 if ok else 0
             if t % 100 == 0 or t == args.steps - 1:

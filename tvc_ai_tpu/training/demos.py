@@ -1,0 +1,350 @@
+"""LQR ground-balance demonstration policy (CG-axis replay seeding).
+
+The strict success window (env.types.SuccessConfig; ref
+env/enhanced_rocket_tvc_env.py:31-61) under the double-gravity quirk is a
+GROUND-balance regime: thrust (35 N) < effective weight (39.24 N), so the
+vehicle must stand on the penalty point contact
+(physics/integrator.py::contact_wrench) holding tilt < 5 deg and
+|omega| < 0.1 for 100 consecutive steps. With a lateral CG offset d the
+standing equilibrium is:
+
+- thrust world-vector vertical (at zero slip the regularized friction
+  vanishes, so lateral force balance needs zero lateral thrust):
+  gimbal u* = -theta*;
+- torque balance about the contact point:
+  0.5*m*g_eff*sin(theta) + d*T*cos(u) = 0, i.e.
+  tan(theta*) = -2*T*d/(m*g_eff) ~ -1.784*d — the body tips AWAY from the
+  offset, inside the 5-degree window for |d| <= ~0.049 (this bound
+  supersedes the r3 hover-feasibility ceiling atan(d/L): hover is
+  unreachable, ground balance is the real regime).
+
+While the base sticks, gimbal torque about the pivot is ~d*T*cos(u) —
+essentially NO control authority; control enters by sliding the base
+through the friction cone (|lateral thrust| > mu*fn ~ 3.4 N), broomstick
+style. Hand-tuned PID around the HOVER trim fails this plant
+(scripts/scripted_controller.py, all variants). This module synthesizes
+the controller from the TRUE dynamics instead: jax.jacobian of the exact
+50 Hz step map about the standing equilibrium -> discrete LQR.
+
+Key property of the BLIND controller (single LQR about the d=0
+equilibrium, no knowledge of d): position feedback is integral-of-velocity
+feedback, so a constant torque disturbance shifts the closed-loop rest
+point — the vehicle settles at a position offset with tilt ON the true
+theta*(d), zero velocity, zero steady gimbal rate. That is exactly the
+"second, slower integral loop around the attitude reflex" the r3
+forensics prescribed, in linear-feedback form a policy with a
+drift-integral observation channel can represent.
+
+Linearization detail: the regularized Coulomb friction
+ft = -mu*fn*v/(|v|+eps) with eps = 1e-3 m/s has slope mu*fn/eps ~ 1700/s
+at zero slip — far above the 200 Hz substep Nyquist, so the exact
+Jacobian at stick is dominated by (explicit-integration) friction chatter
+and useless for synthesis. We linearize at a small slip velocity
+(0.02 m/s, where the friction slope is a mild ~8/s) and validate the
+gains on the true nonlinear plant (scripts/lqr_balance.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvc_ai_tpu.env.types import EnvParams
+from tvc_ai_tpu.physics import integrator, quaternion as quat
+from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
+
+
+class LQRDesign(NamedTuple):
+    """Per-plane gains + equilibrium for the ground-balance LQR.
+
+    Planar state layout (yaw plane): [x, z, theta, vx, vz, omega_y] where
+    theta tips body +z toward +x; control = gimbal yaw (radians).
+    Pitch plane mirrors it: [y, z, phi, vy, vz, omega_x] with phi tipping
+    body +z toward -y (rotation about +x); control = gimbal pitch.
+    """
+
+    gain: jnp.ndarray        # (6,) yaw-plane LQR gain
+    gain_pitch: jnp.ndarray  # (6,) pitch-plane LQR gain
+    z_eq: jnp.ndarray        # equilibrium CG altitude (standing, d=0)
+    trim_slope: jnp.ndarray        # d(theta*)/d(dx), yaw plane
+    trim_slope_pitch: jnp.ndarray  # d(phi*)/d(dy), pitch plane
+
+
+def _embed_yaw(s: jnp.ndarray) -> RigidBodyState:
+    half = s[2] * 0.5
+    return RigidBodyState(
+        pos=jnp.array([s[0], 0.0, s[1]]),
+        quat=jnp.array([0.0, jnp.sin(half), 0.0, jnp.cos(half)]),
+        vel=jnp.array([s[3], 0.0, s[4]]),
+        omega=jnp.array([0.0, s[5], 0.0]),
+    )
+
+
+def _embed_pitch(s: jnp.ndarray) -> RigidBodyState:
+    half = s[2] * 0.5
+    return RigidBodyState(
+        pos=jnp.array([0.0, s[0], s[1]]),
+        quat=jnp.array([jnp.sin(half), 0.0, 0.0, jnp.cos(half)]),
+        vel=jnp.array([0.0, s[3], s[4]]),
+        omega=jnp.array([s[5], 0.0, 0.0]),
+    )
+
+
+def _plane_step(s, u, d, rp: RocketParams, pitch: bool) -> jnp.ndarray:
+    """Exact 50 Hz control-step map restricted to one tilt plane."""
+    if pitch:
+        body = _embed_pitch(s)
+        gimbal = jnp.array([u, 0.0])
+        cg = jnp.array([0.0, d, 0.0])
+    else:
+        body = _embed_yaw(s)
+        gimbal = jnp.array([0.0, u])
+        cg = jnp.array([d, 0.0, 0.0])
+    control = integrator.ThrustControl(
+        gimbal=gimbal, thrust_active=jnp.float32(1.0)
+    )
+    nxt = integrator.step(body, control, rp, cg_offset=cg)
+    if pitch:
+        ang = 2.0 * jnp.arctan2(nxt.quat[0], nxt.quat[3])
+        return jnp.array(
+            [nxt.pos[1], nxt.pos[2], ang, nxt.vel[1], nxt.vel[2], nxt.omega[0]]
+        )
+    ang = 2.0 * jnp.arctan2(nxt.quat[1], nxt.quat[3])
+    return jnp.array(
+        [nxt.pos[0], nxt.pos[2], ang, nxt.vel[0], nxt.vel[2], nxt.omega[1]]
+    )
+
+
+def _static_residual(q3, d, rp: RocketParams, pitch: bool) -> jnp.ndarray:
+    """(lateral force, vertical force, plane torque) at rest — zero at the
+    standing equilibrium (theta, u, depth)."""
+    theta, u, depth = q3[0], q3[1], q3[2]
+    z = 0.5 * rp.length * jnp.cos(theta) - depth
+    s = jnp.array([0.0, z, theta, 0.0, 0.0, 0.0])
+    body = _embed_pitch(s) if pitch else _embed_yaw(s)
+    if pitch:
+        gimbal = jnp.array([u, 0.0])
+        cg = jnp.array([0.0, d, 0.0])
+    else:
+        gimbal = jnp.array([0.0, u])
+        cg = jnp.array([d, 0.0, 0.0])
+    control = integrator.ThrustControl(
+        gimbal=gimbal, thrust_active=jnp.float32(1.0)
+    )
+    mass = rp.mass
+    wrench = integrator.accumulate_forces(
+        body, control, rp, mass, jnp.float32(1.0), cg, jnp.zeros(3)
+    )
+    contact = integrator.contact_wrench(body, rp, mass)
+    force = wrench.force + contact.force
+    force = force.at[2].add(-rp.gravity * mass)  # engine gravity half
+    torque = wrench.torque + contact.torque
+    if pitch:
+        return jnp.array([force[1], force[2], torque[0]])
+    return jnp.array([force[0], force[2], torque[1]])
+
+
+def solve_equilibrium(rp: RocketParams, d: float, pitch: bool = False):
+    """Standing equilibrium (theta*, u*, depth*) at cg offset d.
+
+    Structure (derivation in the module docstring): at zero slip the
+    regularized friction vanishes, so lateral force balance needs the
+    thrust world-vector vertical (fixes u as a function of theta); the
+    normal balance fn = m*g_eff - T fixes the penetration depth; torque
+    balance fixes theta (analytically tan(theta*) = -2*T*d/(m*g_eff) in
+    the yaw plane). Solved by forward-only nested bisection on the exact
+    static residual — NOT Newton, because jax.jacobian through the
+    contact/aero norms at exactly-zero velocity is NaN-poisoned, and
+    forward-only also sidesteps per-plane sign conventions.
+    """
+    g_eff = 2.0 * float(rp.gravity)  # double gravity
+    depth = (float(rp.mass) * g_eff - float(rp.thrust)) / float(
+        rp.contact_stiffness
+    )
+
+    res_jit = jax.jit(lambda q: _static_residual(q, jnp.float32(d), rp, pitch))
+
+    def residual(theta: float, u: float) -> np.ndarray:
+        return np.asarray(res_jit(jnp.array([theta, u, depth], jnp.float32)))
+
+    def bisect(f, lo: float, hi: float, iters: int = 40) -> float:
+        flo = f(lo)
+        if flo * f(hi) > 0:
+            raise AssertionError(
+                f"no sign change in [{lo}, {hi}] at d={d} pitch={pitch}"
+            )
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            if flo * f(mid) <= 0:
+                hi = mid
+            else:
+                lo, flo = mid, f(mid)
+        return 0.5 * (lo + hi)
+
+    def u_for(theta: float) -> float:
+        # null the lateral thrust component (|u| < gimbal range)
+        return bisect(lambda u: float(residual(theta, u)[0]), -0.3, 0.3)
+
+    theta = bisect(
+        lambda th: float(residual(th, u_for(th))[2]), -0.25, 0.25
+    )
+    u = u_for(theta)
+    res = residual(theta, u)
+    if np.max(np.abs(res)) > 0.05:  # N / N·m — forward sanity check
+        raise AssertionError(
+            f"equilibrium residual {res} too large at d={d} pitch={pitch}"
+        )
+    return np.array([theta, u, depth], np.float64)
+
+
+def equilibrium_tilt(params: EnvParams, d: float) -> float:
+    """Standing-equilibrium tilt magnitude at cg offset d (radians)."""
+    return abs(float(solve_equilibrium(params.rocket, d)[0]))
+
+
+def _dlqr(a: np.ndarray, b: np.ndarray, q: np.ndarray, r: np.ndarray):
+    """Discrete-time LQR via Riccati fixed-point iteration."""
+    p = q.copy()
+    for _ in range(3000):
+        btp = b.T @ p
+        k = np.linalg.solve(r + btp @ b, btp @ a)
+        p_next = q + a.T @ p @ (a - b @ k)
+        p_next = 0.5 * (p_next + p_next.T)
+        if np.max(np.abs(p_next - p)) < 1e-9 * (1.0 + np.max(np.abs(p))):
+            p = p_next
+            break
+        p = p_next
+    btp = b.T @ p
+    return np.linalg.solve(r + btp @ b, btp @ a)
+
+
+# LQR weights, scaled ~1/limit^2 against the success-window criteria
+# (tilt 0.087, |omega| 0.1, hvel 0.5) with light position cost — position
+# feedback is what provides the integral action, so it must be nonzero
+# but slow. Altitude (z, vz) carries ~zero weight: with fixed thrust the
+# vertical channel is uncontrollable, and any real z-weight makes the LQR
+# "control" altitude by tilting (gimbal saturates at the airborne spawn).
+_Q_DIAG = (1.0, 1e-4, 625.0, 16.0, 1e-4, 400.0)
+_R = 100.0
+# linearize at this slip speed: friction slope mu*fn*eps/(v+eps)^2 is a
+# mild ~8/s here vs ~1700/s at stick (see module docstring). The small
+# spin keeps jax.jacobian off the |omega|=0 nondifferentiability in the
+# quaternion exponential.
+_LIN_SLIP = 0.02
+_LIN_SPIN = 0.01
+
+
+def design_lqr(params: EnvParams) -> LQRDesign:
+    """Synthesize per-plane ground-balance LQR gains from the true step map."""
+    rp = params.rocket
+    gains = []
+    slopes = []
+    z_eq = None
+    for pitch in (False, True):
+        theta_e, u_e, depth_e = solve_equilibrium(rp, 0.0, pitch)
+        z0 = 0.5 * float(rp.length) * np.cos(theta_e) - depth_e
+        if not pitch:
+            z_eq = z0
+        u_star = jnp.float32(u_e)
+        f = lambda s, u: _plane_step(s, u, jnp.float32(0.0), rp, pitch)
+        # Average the Jacobians over the four (±slip, ±spin) corners: the
+        # friction couplings (e.g. d omega'/d z through fn -> friction
+        # torque) are ODD in the slip sign, so a one-sided linearization
+        # bakes a direction-specific friction feedforward into the gains;
+        # averaging keeps only the symmetric dynamics.
+        a = np.zeros((6, 6))
+        b = np.zeros((6, 1))
+        for slip in (_LIN_SLIP, -_LIN_SLIP):
+            for spin in (_LIN_SPIN, -_LIN_SPIN):
+                s_star = jnp.array([0.0, z0, theta_e, slip, 0.0, spin])
+                a += 0.25 * np.asarray(
+                    jax.jacobian(f, argnums=0)(s_star, u_star), np.float64
+                )
+                b += 0.25 * np.asarray(
+                    jax.jacobian(f, argnums=1)(s_star, u_star), np.float64
+                ).reshape(6, 1)
+        k = _dlqr(a, b, np.diag(_Q_DIAG), np.array([[_R]]))
+        gains.append(jnp.asarray(k[0], jnp.float32))
+        # numeric trim slope d(theta*)/dd from the Newton solve at d=0.02
+        th_d, _, _ = solve_equilibrium(rp, 0.02, pitch)
+        slopes.append(jnp.float32((th_d - theta_e) / 0.02))
+    return LQRDesign(
+        gain=gains[0],
+        gain_pitch=gains[1],
+        z_eq=jnp.float32(z_eq),
+        trim_slope=slopes[0],
+        trim_slope_pitch=slopes[1],
+    )
+
+
+def lqr_action(
+    body: RigidBodyState,
+    design: LQRDesign,
+    d_known: jnp.ndarray,
+    rp: RocketParams,
+) -> jnp.ndarray:
+    """Policy action [-1, 1]^2 from the full body state (jit/vmap-safe).
+
+    ``d_known``: (.., 3) cg offset the controller is told (zeros = blind
+    mode; the LQR's position feedback supplies the integral action that
+    absorbs the unknown trim).
+    """
+    zhat = quat.rotate(body.quat, jnp.array([0.0, 0.0, 1.0]))
+    theta_x = jnp.arctan2(zhat[..., 0], zhat[..., 2])
+    phi = jnp.arctan2(-zhat[..., 1], zhat[..., 2])
+
+    th_star = design.trim_slope * d_known[..., 0]
+    ph_star = design.trim_slope_pitch * d_known[..., 1]
+
+    sx = jnp.stack(
+        [
+            body.pos[..., 0],
+            body.pos[..., 2],
+            theta_x,
+            body.vel[..., 0],
+            body.vel[..., 2],
+            body.omega[..., 1],
+        ],
+        axis=-1,
+    )
+    sy = jnp.stack(
+        [
+            body.pos[..., 1],
+            body.pos[..., 2],
+            phi,
+            body.vel[..., 1],
+            body.vel[..., 2],
+            body.omega[..., 0],
+        ],
+        axis=-1,
+    )
+    sx_star = jnp.stack(
+        [
+            jnp.zeros_like(th_star),
+            jnp.broadcast_to(design.z_eq, th_star.shape),
+            th_star,
+            jnp.zeros_like(th_star),
+            jnp.zeros_like(th_star),
+            jnp.zeros_like(th_star),
+        ],
+        axis=-1,
+    )
+    sy_star = jnp.stack(
+        [
+            jnp.zeros_like(ph_star),
+            jnp.broadcast_to(design.z_eq, ph_star.shape),
+            ph_star,
+            jnp.zeros_like(ph_star),
+            jnp.zeros_like(ph_star),
+            jnp.zeros_like(ph_star),
+        ],
+        axis=-1,
+    )
+    u_yaw = -th_star - jnp.sum(design.gain * (sx - sx_star), axis=-1)
+    u_pitch = -ph_star - jnp.sum(design.gain_pitch * (sy - sy_star), axis=-1)
+    act = jnp.stack([u_pitch, u_yaw], axis=-1) / rp.max_gimbal
+    return jnp.clip(act, -1.0, 1.0)

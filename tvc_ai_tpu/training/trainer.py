@@ -557,6 +557,17 @@ class Trainer:
                         self.curriculum.stage_idx,
                         stage.name if stage else "graduated",
                     )
+                    # the stage-eval tiebreak distribution changes at every
+                    # promotion — a high tiebreak earned on an easy early
+                    # stage must not permanently block capturing a strictly
+                    # better later policy whose harder-stage score is lower.
+                    # Only the stage fallback is non-stationary; the robust
+                    # eval (when configured) is one fixed distribution.
+                    if "eval_robust_success_rate" not in eval_metrics:
+                        self.best_nominal_key = (
+                            self.best_nominal_key[0],
+                            float("-inf"),
+                        )
                 # secondary best-capture: when the primary metric is the
                 # robust one, ALSO keep the best-nominal checkpoint (under
                 # DR training the two diverge sharply, and the robust metric
