@@ -131,14 +131,16 @@ def main() -> int:
             else:
                 window = out.obs
         crit = []
-        if tilt > 0.087:
-            crit.append(f"tilt {math.degrees(tilt):.1f}>5deg")
-        if ang > 0.1:
-            crit.append(f"|w| {ang:.2f}>0.1")
-        if hvel > 0.5:
-            crit.append(f"hvel {hvel:.2f}>0.5")
-        if not (0.2 <= alt <= 2.0):
-            crit.append(f"alt {alt:.2f} outside [0.2,2]")
+        if tilt > max_tilt:
+            crit.append(
+                f"tilt {math.degrees(tilt):.1f}>{math.degrees(max_tilt):.0f}deg"
+            )
+        if ang > max_ang:
+            crit.append(f"|w| {ang:.2f}>{max_ang:g}")
+        if hvel > max_hvel:
+            crit.append(f"hvel {hvel:.2f}>{max_hvel:g}")
+        if not (min_alt <= alt <= max_alt):
+            crit.append(f"alt {alt:.2f} outside [{min_alt:g},{max_alt:g}]")
         print(
             f"cg={cg:.3f}: end={term_reason} "
             f"final-fail=[{', '.join(crit) or 'none'}] "

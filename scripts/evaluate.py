@@ -33,6 +33,12 @@ def main() -> int:
                              "and save a per-episode trajectory plot")
     parser.add_argument("--rocket_mass", type=float, default=2.0,
                         help="suite nominal mass (1.5 = legacy-gen policies)")
+    parser.add_argument("--run_config", type=str, default=None,
+                        help="the training run's saved config.yaml — derives "
+                             "the observation construction (trim + drift "
+                             "channels, scales, history) exactly as trained, "
+                             "so suite eval can't silently diverge. "
+                             "Overrides the individual flags below.")
     parser.add_argument("--trim_obs", action="store_true",
                         help="enable the 4 trim-observation channels (obs "
                              "10→14) for policies trained with "
@@ -41,6 +47,14 @@ def main() -> int:
                         default="ema",
                         help="trim-channel estimator the policy was trained "
                              "with (env.trim_observation.mode)")
+    parser.add_argument("--drift_obs", action="store_true",
+                        help="enable the 4 drift-observation channels "
+                             "(scaled [vx,vy,x,y]) for policies trained "
+                             "with env.drift_observation.enabled")
+    parser.add_argument("--cg_offset_max", type=float, default=None,
+                        help="override the suites' CG-offset range "
+                             "(ablation: 0 isolates how much of the suite "
+                             "score the CG axis alone costs)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -53,13 +67,35 @@ def main() -> int:
     from tvc_ai_tpu.eval.evaluate import (
         SUITE_EPISODES,
         load_agent_state,
+        obs_overrides_from_config,
         run_all_suites,
         run_suite,
         write_episode_csv,
     )
 
     sac_cfg = SACConfig(hidden_dims=tuple(args.hidden))
-    frame_dim = args.obs_dim + (4 if args.trim_obs else 0)
+    if args.run_config:
+        from tvc_ai_tpu.config import load_config
+        from tvc_ai_tpu.config.build import build_sac_config
+        from tvc_ai_tpu.env.types import obs_dim as env_obs_dim
+        from tvc_ai_tpu.config.build import build_env_params
+
+        run_cfg = load_config(args.run_config)
+        sac_cfg = build_sac_config(run_cfg)
+        obs_overrides = obs_overrides_from_config(run_cfg)
+        frame_dim = int(env_obs_dim(build_env_params(run_cfg)))
+        args.history = run_cfg.network.history_len
+    else:
+        obs_overrides = {}
+        if args.trim_obs:
+            obs_overrides.update(
+                trim_obs_enabled=True,
+                trim_obs_integral=args.trim_mode == "integral",
+            )
+        if args.drift_obs:
+            obs_overrides["drift_obs_enabled"] = True
+        frame_dim = (args.obs_dim + (4 if args.trim_obs else 0)
+                     + (4 if args.drift_obs else 0))
     agent_state = load_agent_state(
         args.model_path, frame_dim * args.history, args.action_dim, sac_cfg
     )
@@ -70,13 +106,13 @@ def main() -> int:
     if args.suite == "all":
         results = run_all_suites(
             agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
-            args.rocket_mass, args.history, args.trim_obs, args.trim_mode,
+            args.rocket_mass, args.history, obs_overrides, args.cg_offset_max,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
-            args.rocket_mass, args.history, args.trim_obs, args.trim_mode,
+            args.rocket_mass, args.history, obs_overrides, args.cg_offset_max,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}
@@ -93,8 +129,7 @@ def main() -> int:
         series = traj_fn(
             agent_state,
             jax.random.PRNGKey(args.seed),
-            _suite_env_params("standard", args.rocket_mass,
-                              trim_obs=args.trim_obs),
+            _suite_env_params("standard", args.rocket_mass, obs_overrides),
         )
         plot_trajectories(series, out / "trajectory_plots.png",
                           max_episodes=args.trajectories)

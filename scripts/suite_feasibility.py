@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Empirical feasibility oracle for the evaluation suites.
+
+Runs the blind ground-balance LQR (training/demos.py — the best known
+controller for this plant) over the EXACT robustness / stress suite
+distributions (eval/evaluate.py::_suite_env_params, mirroring the
+reference's scripts/evaluate.py:338-391) and reports its strict success
+rate with a per-axis breakdown. This replaces the r3 analytic ceiling
+(which modeled only single-axis cg draws) with a measured bound:
+
+- mass draws below thrust/(2g) = 1.784 kg make thrust exceed the
+  double-gravity weight — the vehicle climbs away from the ground-balance
+  regime and (with the 100-step window unreachable in free fall + ceiling
+  termination at 10 m) those episodes are unwinnable by ANY controller;
+- |cg_xy| beyond ~0.049 m tips the standing equilibrium outside the
+  5-degree window (tan(theta*) = 2*T*d/(m*g_eff));
+- the remaining draws are feasible in principle; the LQR's score on them
+  is a lower bound on attainable (it has measured direction-dependent
+  marginal stability on mixed-ratio cg draws).
+
+Usage:
+  python scripts/suite_feasibility.py [--cpu] [--episodes 200] [--seed 0]
+      [--suite robustness stress]
+"""
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--suite", nargs="*",
+                        default=["robustness", "stress"])
+    parser.add_argument("--episodes", type=int, default=200)
+    parser.add_argument("--steps", type=int, default=0,
+                        help="horizon (0 = the suite's own max_episode_steps)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.eval.evaluate import _suite_env_params
+    from tvc_ai_tpu.training import demos
+
+    design = None
+    for suite in args.suite:
+        params = _suite_env_params(suite)
+        if design is None:
+            design = demos.design_lqr(params)
+        rp = params.rocket
+        n = args.episodes
+        horizon = args.steps or params.max_episode_steps
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), n)
+        states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+        d0 = jnp.zeros((n, 3), jnp.float32)
+
+        @jax.jit
+        def roll(states):
+            def step_fn(st, _):
+                act = demos.lqr_action(st.body, design, d0, rp)
+                nxt, out, _ = rocket_env.batched_step_autoreset(
+                    st, act, params, use_pallas=False
+                )
+                return nxt, (out.terminated | out.truncated,
+                             out.mission_success)
+            _, (dones, succ) = jax.lax.scan(
+                step_fn, states, None, length=horizon
+            )
+            return dones, succ
+
+        dones, succ = roll(states)
+        dn = np.asarray(dones)
+        sc = np.asarray(succ)
+        first_done = dn.argmax(0)
+        ended = dn.any(0)
+        # first-episode outcome per env slot = one suite episode each
+        ok = np.where(ended, sc[first_done, np.arange(n)], sc[-1])
+
+        mass = np.asarray(states.dr.mass)
+        cg = np.asarray(states.dr.cg_offset)
+        cg_mag = np.linalg.norm(cg[:, :2], axis=1)
+        thrust_w = float(rp.thrust)  # nominal; per-episode scale below
+        tscale = np.asarray(states.dr.thrust_scale)
+        g_eff = 2.0 * float(rp.gravity)
+        climb_away = tscale * thrust_w > mass * g_eff
+        theta_eq = np.arctan(
+            2.0 * tscale * thrust_w * cg_mag / (mass * g_eff)
+        )
+        tilt_infeasible = theta_eq > 0.087  # strict window tilt bound
+        infeasible = climb_away | tilt_infeasible
+        feas = ~infeasible
+
+        print(f"== {suite} suite ({n} episodes, horizon {horizon}) ==")
+        print(f"  physics-infeasible: {infeasible.mean():.1%} "
+              f"(climb-away {climb_away.mean():.1%}, "
+              f"equilibrium tilt > 5deg {tilt_infeasible.mean():.1%})")
+        print(f"  LQR strict success: {ok.mean():.1%} overall; "
+              f"{ok[feas].mean() if feas.any() else 0:.1%} on feasible draws; "
+              f"{ok[infeasible].mean() if infeasible.any() else 0:.1%} on "
+              f"infeasible draws (sanity, expect ~0)")
+        for lo, hi in [(0, 0.02), (0.02, 0.035), (0.035, 0.05), (0.05, 0.2)]:
+            m = (cg_mag >= lo) & (cg_mag < hi) & ~climb_away
+            if m.sum():
+                print(f"    |cg| in [{lo:.3f},{hi:.3f}) n={m.sum():4d} "
+                      f"success={ok[m].mean():.1%}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

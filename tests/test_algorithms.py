@@ -146,6 +146,31 @@ def test_selection_strategies():
     assert agent2.select_algorithm() == "ensemble"
 
 
+def test_selection_epsilon_floor():
+    """selection_epsilon > 0: trailing members keep acting (~epsilon share)
+    instead of being starved by the greedy argmax — the r3 failure where the
+    ensemble's SAC member saw almost no self-generated data. Default 0 =
+    reference-parity greedy (multi_algorithm_agent.py:693-733)."""
+    import dataclasses
+
+    agent = MultiAlgorithmAgent(
+        config=dataclasses.replace(small_ensemble_cfg(), selection_epsilon=0.3)
+    )
+    agent.update_performance("ppo", 100.0)  # ppo leads by a mile
+    agent.update_performance("sac", 1.0)
+    agent.update_performance("td3", 1.0)
+    picks = [agent.select_algorithm() for _ in range(600)]
+    share = {a: picks.count(a) / len(picks) for a in ("ppo", "sac", "td3")}
+    assert share["ppo"] > 0.6          # greedy still dominates
+    assert share["sac"] > 0.03         # but trailing members act
+    assert share["td3"] > 0.03
+    # epsilon 0 (default) is pure greedy — reference parity
+    agent0 = MultiAlgorithmAgent(config=small_ensemble_cfg())
+    agent0.update_performance("ppo", 100.0)
+    agent0.update_performance("sac", 1.0)
+    assert all(agent0.select_algorithm() == "ppo" for _ in range(50))
+
+
 def test_weights_follow_performance():
     agent = MultiAlgorithmAgent(config=small_ensemble_cfg())
     for _ in range(10):

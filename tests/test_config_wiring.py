@@ -117,6 +117,7 @@ def test_curiosity_flag_changes_training_reward():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_rnd_flag_trains_predictor_and_shapes_reward():
     cfg_off = _cfg()
     cfg_on = _cfg(
@@ -136,6 +137,7 @@ def test_rnd_flag_trains_predictor_and_shapes_reward():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_safety_flag_projects_unsafe_actions():
     """With envs initialized beyond max_tilt, the CBF projection replaces
     policy actions → the stored replay actions differ from the unsafe run."""
@@ -157,6 +159,7 @@ def test_safety_flag_projects_unsafe_actions():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_physics_informed_flag_regularizes_icm():
     """physics_informed.enabled changes the ICM forward-model gradients."""
     base = {"exploration": {"curiosity": {"enabled": True}}}
@@ -170,6 +173,7 @@ def test_physics_informed_flag_regularizes_icm():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_history_flag_stacks_policy_input():
     cfg = _cfg(network={"history_len": 3})
     carry, metrics = _run_one_iteration(cfg)
@@ -271,6 +275,7 @@ def test_enhanced_env_curiosity_flag_honored():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_hierarchical_flag_from_config():
     """hierarchical_rl.enabled reaches the fused loop: goal-conditioned low
     level + trainable high level."""

@@ -601,3 +601,116 @@ class TestTrimObservation:
         cfg0 = load_config(None)
         assert not build_env_params(cfg0).trim_obs_enabled
         assert build_loop_config(cfg0).obs_dim == OBS_DIM
+
+
+class TestDriftObservation:
+    """Drift channels (EnvParams.drift_obs_enabled): obs += 4 with scaled
+    [vx, vy, x, y] — the idealized-INS estimate the r4 LQR ground-balance
+    synthesis (scripts/lqr_balance.py) identified as necessary: position
+    feedback IS integral-of-velocity feedback, the slow loop that absorbs an
+    unknown CG trim, and neither v nor x is recoverable from the 10-D obs."""
+
+    def test_shapes_and_reset(self):
+        import dataclasses as dc
+
+        p = EnvParams(drift_obs_enabled=True)
+        state, obs = rocket_env.reset(jax.random.PRNGKey(0), p)
+        assert obs.shape == (OBS_DIM + 4,)
+        # nominal reset: origin x=y=0, zero velocity → zero drift channels
+        assert np.allclose(np.asarray(obs[-4:]), 0.0, atol=1e-6)
+
+    def test_channels_track_state_exactly(self):
+        import dataclasses as dc
+
+        p = EnvParams(
+            drift_obs_enabled=True,
+            drift_obs_vel_scale=jnp.float32(2.0),
+            drift_obs_pos_scale=jnp.float32(0.5),
+        )
+        state, _ = rocket_env.reset(jax.random.PRNGKey(1), p)
+        step = jax.jit(rocket_env.step)
+        out = None
+        for _ in range(25):  # tip the vehicle → lateral thrust → drift
+            state, out = step(state, jnp.array([0.6, -0.3]), p)
+            if bool(out.terminated):
+                break
+        vel = np.asarray(state.body.vel[:2])
+        pos = np.asarray(state.body.pos[:2])
+        tail = np.asarray(out.obs[-4:])
+        assert np.allclose(tail[:2], vel * 2.0, atol=1e-5)
+        assert np.allclose(tail[2:], pos * 0.5, atol=1e-5)
+        assert np.any(np.abs(tail) > 1e-4)  # the motion actually registered
+
+    def test_ordering_after_trim_block(self):
+        # with both blocks on: obs = [10 base | 4 trim | 4 drift] = 18
+        p = EnvParams(trim_obs_enabled=True, drift_obs_enabled=True)
+        state, obs = rocket_env.reset(jax.random.PRNGKey(2), p)
+        assert obs.shape == (OBS_DIM + 4 + 4,)
+        step = jax.jit(rocket_env.step)
+        a = jnp.array([0.4, -0.2])
+        for _ in range(10):
+            state, out = step(state, a, p)
+        # trim action-EMA pair sits at [12:14], drift tail at [14:18]
+        d = float(p.trim_obs_decay)
+        expect_ema = (1.0 - d**10) * np.array([0.4, -0.2])
+        assert np.allclose(np.asarray(out.obs[12:14]), expect_ema, atol=1e-4)
+        assert np.allclose(
+            np.asarray(out.obs[14:16]),
+            np.asarray(state.body.vel[:2]) * float(p.drift_obs_vel_scale),
+            atol=1e-5,
+        )
+
+    def test_autoreset_restarts_drift(self):
+        p = EnvParams(drift_obs_enabled=True)
+        state, _ = rocket_env.reset(jax.random.PRNGKey(3), p)
+        step = jax.jit(rocket_env.step_autoreset)
+        npo = None
+        for _ in range(400):
+            state, out, npo = step(state, jnp.array([1.0, 1.0]), p)
+            if bool(out.terminated | out.truncated):
+                break
+        assert bool(out.terminated | out.truncated)
+        assert np.allclose(np.asarray(npo[-4:]), 0.0, atol=1e-6)
+
+    def test_config_wired(self):
+        from tvc_ai_tpu.config import load_config
+        from tvc_ai_tpu.config.build import build_env_params, build_loop_config
+
+        cfg = load_config(None, overrides=[
+            "env.drift_observation.enabled=true",
+            "env.drift_observation.vel_scale=3.0",
+        ])
+        p = build_env_params(cfg)
+        assert p.drift_obs_enabled
+        assert float(p.drift_obs_vel_scale) == 3.0
+        assert build_loop_config(cfg).obs_dim == OBS_DIM + 4
+        both = load_config(None, overrides=[
+            "env.drift_observation.enabled=true",
+            "env.trim_observation.enabled=true",
+        ])
+        assert build_loop_config(both).obs_dim == OBS_DIM + 8
+        assert not build_env_params(load_config(None)).drift_obs_enabled
+
+    def test_suite_eval_reproduces_training_obs(self):
+        # ADVICE r3: suite eval must reproduce the training-time observation
+        # dynamics (incl. trim_obs_clip) — build the overrides from the run's
+        # saved config, never from re-typed flags
+        from tvc_ai_tpu.config import load_config
+        from tvc_ai_tpu.eval.evaluate import (
+            _suite_env_params,
+            obs_overrides_from_config,
+        )
+
+        cfg = load_config(None, overrides=[
+            "env.trim_observation.enabled=true",
+            "env.trim_observation.mode=integral",
+            "env.trim_observation.integral_clip=0.25",
+            "env.drift_observation.enabled=true",
+            "env.drift_observation.pos_scale=0.7",
+        ])
+        ov = obs_overrides_from_config(cfg)
+        sp = _suite_env_params("robustness", obs_overrides=ov)
+        assert sp.trim_obs_enabled and sp.trim_obs_integral
+        assert float(sp.trim_obs_clip) == 0.25
+        assert sp.drift_obs_enabled
+        assert abs(float(sp.drift_obs_pos_scale) - 0.7) < 1e-6

@@ -124,6 +124,7 @@ def test_safety_correction_net_trains():
 # ------------------------------------------------------------ hierarchical
 
 
+@pytest.mark.slow
 def test_hierarchical_goal_and_action():
     cfg = hier.HierarchicalConfig(d_model=32, num_layers=1)
     state = hier.init(jax.random.PRNGKey(0), OBS_DIM, 2, cfg)

@@ -26,6 +26,7 @@ def setup():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_population_trains_independently(setup):
     sac_cfg, pop_cfg, env_params, carry = setup
     it = jax.jit(pop_mod.make_population_iteration(sac_cfg, pop_cfg))

@@ -97,6 +97,7 @@ def test_sharded_train_with_extension_stack():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_sharded_ensemble_members_replicate():
     """BASELINE config #4 at scale: ensemble training over the mesh keeps
     all three members' params bit-identical across shards after updating

@@ -50,6 +50,9 @@ class EnsembleConfig:
     selection_strategy: str = "dynamic"  # dynamic | best | voting
     performance_window: int = 100
     recent_window: int = 10  # "last 10 episodes" (ref :705)
+    # probability of picking a member uniformly instead of the greedy argmax
+    # (0.0 = reference parity; see config.schema.EnsembleConfig rationale)
+    selection_epsilon: float = 0.0
     sac: sac_mod.SACConfig = dataclasses.field(default_factory=sac_mod.SACConfig)
     td3: td3_mod.TD3Config = dataclasses.field(default_factory=td3_mod.TD3Config)
     ppo: ppo_mod.PPOConfig = dataclasses.field(default_factory=ppo_mod.PPOConfig)
@@ -389,6 +392,9 @@ class MultiAlgorithmAgent:
         self._current_algorithm: str | None = None
         self.carry: EnsembleCarry | None = None
         self._select_fns: dict[tuple[str, bool], Any] = {}
+        import random as _random
+
+        self._rng = _random.Random(seed ^ 0x5E1EC7)  # selection-epsilon draws
 
     # ---------------------------------------------------------------- setup
     def _next_key(self):
@@ -400,8 +406,19 @@ class MultiAlgorithmAgent:
 
     # ------------------------------------------------------------- selection
     def select_algorithm(self) -> str:
-        """Performance-window selection (ref :693-733)."""
+        """Performance-window selection (ref :693-733), plus an optional
+        epsilon exploration floor (selection_epsilon > 0) so trailing
+        members keep acting, refreshing their windows, and seeing their own
+        data — greedy starves them (r3 measurement in the config schema)."""
         strategy = self.config.selection_strategy
+        if (
+            strategy != "voting"
+            and self.config.selection_epsilon > 0
+            and self._rng.random() < self.config.selection_epsilon
+        ):
+            selected = self._rng.choice(list(self.config.algorithms))
+            self._current_algorithm = selected
+            return selected
         if strategy == "voting":
             selected = "ensemble"
         else:

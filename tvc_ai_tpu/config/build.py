@@ -128,6 +128,7 @@ def build_env_params(
         raise ValueError(
             f"env.trim_observation.mode={trim.mode!r} (want 'ema'|'integral')"
         )
+    drift = e.drift_observation
     return EnvParams(
         rocket=rocket,
         randomization=rnd,
@@ -140,6 +141,9 @@ def build_env_params(
         trim_obs_tilt_scale=jnp.float32(trim.tilt_scale),
         trim_obs_integral=trim.mode == "integral",
         trim_obs_clip=jnp.float32(trim.integral_clip),
+        drift_obs_enabled=drift.enabled,
+        drift_obs_vel_scale=jnp.float32(drift.vel_scale),
+        drift_obs_pos_scale=jnp.float32(drift.pos_scale),
     )
 
 
@@ -213,7 +217,7 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
     rnd = cfg.exploration.random_network_distillation
     sc = cfg.safety.constraints
     pi = cfg.physics_informed
-    from tvc_ai_tpu.env.types import OBS_DIM, TRIM_OBS_DIM
+    from tvc_ai_tpu.env.types import DRIFT_OBS_DIM, OBS_DIM, TRIM_OBS_DIM
 
     return TrainLoopConfig(
         num_envs=t.num_envs,
@@ -221,7 +225,11 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
         updates_per_step=t.updates_per_step,
         update_interval=t.update_interval,
         obs_dim=OBS_DIM
-        + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0),
+        + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0)
+        + (DRIFT_OBS_DIM if cfg.env.drift_observation.enabled else 0),
+        demo_fraction=(
+            t.demo_seeding.fraction if t.demo_seeding.enabled else 0.0
+        ),
         history_len=cfg.network.history_len,
         use_pallas_physics=t.use_pallas_physics,
         use_safety_layer=cfg.safety.enabled,

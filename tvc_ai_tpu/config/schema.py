@@ -96,6 +96,16 @@ class EnsembleConfig:
     algorithms: list[str] = field(default_factory=lambda: ["ppo", "sac", "td3"])
     selection_strategy: str = "dynamic"  # dynamic | best | voting
     performance_window: int = 100
+    # exploration floor on the dynamic/best selection: with this probability
+    # pick a member uniformly instead of the argmax. The reference's
+    # selection is pure greedy (multi_algorithm_agent.py:693-733) — default
+    # 0.0 keeps parity — but greedy STARVES trailing members: once one
+    # leads, the others never act again, their performance windows freeze
+    # at stale values, and their replay data degenerates to another
+    # policy's trajectories (measured r3: the ensemble's SAC member evaled
+    # 0% with 36-step episodes at a 40M budget while standalone SAC masters
+    # the task at 1M — the member saw almost no self-generated data).
+    selection_epsilon: float = 0.0
 
 
 @dataclass
@@ -363,6 +373,46 @@ class CheckpointConfig:
 
 
 @dataclass
+class DemoSeedingConfig:
+    """Seed the SAC replay buffer with LQR ground-balance demonstrations
+    before training (training/demos.py). The r3/r4 forensics chain: five RL
+    campaigns never discovered the CG-trim skill; the blind LQR synthesized
+    from the true step map passes the strict window at any single-axis
+    |cg| <= 0.045 with position feedback supplying the integral action.
+    Seeding puts those success trajectories (incl. the sparse completion
+    bonus) into replay so the critic sees the skill's value landscape from
+    step one. Demos run in the learner's own observation space — enable
+    env.drift_observation so the policy can *represent* the teacher."""
+
+    enabled: bool = False
+    # env steps per demo env (scan length): total transitions = steps × envs
+    steps: int = 600
+    # demo env count; 0 = training num_envs. Must divide num_envs so the
+    # ring-buffer batch-write invariant holds.
+    envs: int = 512
+    # fraction of every SAC batch drawn from a PERSISTENT demo buffer
+    # (DQfD-style mixed sampling; training/loop.py demo_fraction). 0 = demos
+    # only seed the online ring, where they are overwritten within ~1M env
+    # steps once the ring wraps — fine for a short warm start, useless for
+    # a 100M+ campaign. With fraction > 0 the demos also live in
+    # TrainCarry.demo_buffer and stay in the batch distribution forever.
+    fraction: float = 0.0
+    # demo DR distribution overrides (None = inherit the corresponding
+    # env.domain_randomization value). The default demo distribution should
+    # concentrate where the teacher is competent (cg feasible range, modest
+    # other axes) rather than copying a hard training stage.
+    cg_offset_max: float | None = None
+    mass_variation: float | None = None
+    thrust_variation: float | None = None
+    wind_max: float | None = None
+    sensor_noise_std: float | None = None
+    dr_prob: float | None = None
+    # tell the controller each episode's true cg offset (measured WORSE
+    # than blind — probes only)
+    privileged: bool = False
+
+
+@dataclass
 class TrainingConfig:
     total_timesteps: int = 2_000_000
     eval_freq: int = 5000
@@ -393,6 +443,7 @@ class TrainingConfig:
     eval_domain_randomization: bool = False
     early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
     checkpointing: CheckpointConfig = field(default_factory=CheckpointConfig)
+    demo_seeding: DemoSeedingConfig = field(default_factory=DemoSeedingConfig)
 
 
 @dataclass
@@ -442,6 +493,22 @@ class TrimObservationConfig:
 
 
 @dataclass
+class DriftObservationConfig:
+    """Opt-in drift channels appended to the observation (+4 dims): scaled
+    horizontal velocity [vx, vy] and position drift [x, y] — an idealized
+    INS estimate. The r4 LQR forensics (scripts/lqr_balance.py) showed the
+    strict success window under CG offset is a ground-balance task whose
+    stabilizing controller is linear feedback on (tilt, omega, v, x);
+    position feedback supplies the integral action that absorbs the unknown
+    trim, and neither v nor x is recoverable from the 10-D obs or a short
+    history. See env/types.py EnvParams.drift_obs_*."""
+
+    enabled: bool = False
+    vel_scale: float = 2.0  # observation scaling on the velocity pair
+    pos_scale: float = 0.5  # observation scaling on the position pair
+
+
+@dataclass
 class EnvSection:
     max_episode_steps: int = 1000
     physics_timestep: float = 0.02
@@ -466,6 +533,9 @@ class EnvSection:
     )
     trim_observation: TrimObservationConfig = field(
         default_factory=TrimObservationConfig
+    )
+    drift_observation: DriftObservationConfig = field(
+        default_factory=DriftObservationConfig
     )
 
 

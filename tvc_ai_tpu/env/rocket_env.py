@@ -123,6 +123,24 @@ def _append_trim(
     return jnp.concatenate([obs, trim * scale]).astype(jnp.float32)
 
 
+def _append_drift(
+    obs: jnp.ndarray, body: RigidBodyState, params: EnvParams
+) -> jnp.ndarray:
+    """Append the scaled drift channels [vx, vy, x, y] when the static gate
+    is on (obs += 4); compiled away entirely when off. See
+    EnvParams.drift_obs_enabled for the rationale (r4 LQR forensics: the
+    ground-balance controller needs velocity + its integral)."""
+    if not params.drift_obs_enabled:
+        return obs
+    drift = jnp.concatenate(
+        [
+            body.vel[:2] * params.drift_obs_vel_scale,
+            body.pos[:2] * params.drift_obs_pos_scale,
+        ]
+    )
+    return jnp.concatenate([obs, drift]).astype(jnp.float32)
+
+
 def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     """Reset one env: nominal pose [0,0,1]/identity (ref :434-441) plus any
     configured initial-condition randomization (curriculum/legacy spec).
@@ -169,6 +187,7 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
         imu = obs[:7]
     trim = jnp.zeros(TRIM_OBS_DIM, jnp.float32)
     obs = _append_trim(obs, trim, params)
+    obs = _append_drift(obs, body, params)
     state = EnvState(
         body=body,
         fuel=jnp.float32(1.0),
@@ -285,6 +304,7 @@ def _post_physics(
         else:
             trim = d * trim + (1.0 - d) * jnp.concatenate([obs[:2], action])
         obs = _append_trim(obs, trim, params)
+    obs = _append_drift(obs, body, params)
 
     # 5. mission FSM + success window (post-physics quantities)
     new_phase, completed = mission_mod.update_phase(

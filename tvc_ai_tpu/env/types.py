@@ -32,11 +32,19 @@ ACTION_DIM = 2        # gimbal [pitch, yaw] in [-1, 1]          (ref :376-379)
 # optional trim-observation channels appended after the reference's 10
 # (EnvParams.trim_obs_enabled): [ema_qx, ema_qy, ema_act_pitch, ema_act_yaw]
 TRIM_OBS_DIM = 4
+# optional drift-observation channels appended after the trim block
+# (EnvParams.drift_obs_enabled): [vx, vy, x, y] scaled — an idealized-INS
+# horizontal velocity + position-drift estimate (see EnvParams docstring)
+DRIFT_OBS_DIM = 4
 
 
 def obs_dim(params: "EnvParams") -> int:
-    """Actual observation width for a parameterization (10 or 10+4)."""
-    return OBS_DIM + (TRIM_OBS_DIM if params.trim_obs_enabled else 0)
+    """Actual observation width for a parameterization (10, +4 trim, +4 drift)."""
+    return (
+        OBS_DIM
+        + (TRIM_OBS_DIM if params.trim_obs_enabled else 0)
+        + (DRIFT_OBS_DIM if params.drift_obs_enabled else 0)
+    )
 
 
 @struct.dataclass
@@ -267,6 +275,27 @@ class EnvParams:
     # clip bounds the raw integral (anti-windup).
     trim_obs_integral: bool = struct.field(pytree_node=False, default=False)
     trim_obs_clip: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.5)
+    )
+    # Drift-observation channels (opt-in; obs += 4, appended after any trim
+    # block): scaled [vx, vy, x, y] — horizontal velocity and position
+    # drift, i.e. an idealized-INS estimate (accelerometer-integrated
+    # velocity, twice-integrated drift). Motivation (RESULTS.md r4 LQR
+    # forensics): with thrust < double-gravity weight the success window is
+    # a GROUND-balance regime, and the stabilizing controller — synthesized
+    # by LQR from the true step map — is linear feedback on
+    # (tilt, omega, v_xy, x_y). Position feedback is integral-of-velocity
+    # feedback: it is exactly the slow integral loop that absorbs the
+    # unknown CG trim. tilt/omega are already observed; v and its integral
+    # are NOT representable from the 10-D obs or its short history, so no
+    # memoryless-or-history-4 policy could express the working controller.
+    # The channels are noise-free (a real INS velocity error is far below
+    # the raw gyro noise sigma).
+    drift_obs_enabled: bool = struct.field(pytree_node=False, default=False)
+    drift_obs_vel_scale: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(2.0)
+    )
+    drift_obs_pos_scale: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.5)
     )
 

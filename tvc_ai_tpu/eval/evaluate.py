@@ -41,17 +41,18 @@ class SuiteResult:
 def _suite_env_params(
     name: str,
     rocket_mass: float = 2.0,
-    trim_obs: bool = False,
-    trim_decay: float = 0.99,
-    trim_scale: float = 10.0,
-    trim_mode: str = "ema",
+    obs_overrides: dict[str, Any] | None = None,
+    cg_offset_max: float | None = None,
 ) -> EnvParams:
     """Suite env construction. ``rocket_mass`` defaults to the enhanced
     generation's nominal 2.0 kg (what current policies train on); pass 1.5
     to evaluate legacy-generation policies on the legacy RocketConfig
-    nominal. ``trim_obs`` enables the 4 trim channels (obs 10 → 14) for
-    policies trained with env.trim_observation — decay/scale must match
-    training."""
+    nominal. ``obs_overrides`` maps EnvParams field names → values and is
+    applied verbatim (via ``params.replace``); use it to reproduce the
+    observation construction the policy trained with (trim channels, drift
+    channels, and their scales — build it from the run's saved config via
+    ``obs_overrides_from_config`` so training and suite eval can't silently
+    diverge)."""
     if name == "standard":
         params = RocketConfig(mass=rocket_mass).to_env_params(
             domain_randomization=False, sensor_noise=False, max_episode_steps=2000
@@ -70,14 +71,43 @@ def _suite_env_params(
         )
     else:
         raise ValueError(f"unknown suite {name!r}")
-    if trim_obs:
+    if cg_offset_max is not None:
+        # ablation knob (VERDICT r3 ask #5): e.g. a cg=0 robustness-suite
+        # variant quantifies how much of the official suite score the CG
+        # axis alone costs
         params = params.replace(
-            trim_obs_enabled=True,
-            trim_obs_decay=jnp.float32(trim_decay),
-            trim_obs_tilt_scale=jnp.float32(trim_scale),
-            trim_obs_integral=trim_mode == "integral",
+            randomization=params.randomization.replace(
+                cg_offset_max=jnp.float32(cg_offset_max)
+            )
         )
+    if obs_overrides:
+        params = params.replace(**obs_overrides)
     return params
+
+
+def obs_overrides_from_config(cfg: Any) -> dict[str, Any]:
+    """EnvParams observation-channel overrides from a FrameworkConfig — the
+    exact settings build_env_params would apply, so suite eval reproduces
+    the training-time observation dynamics (incl. trim_obs_clip, which the
+    r3 suite plumbing silently dropped)."""
+    trim = cfg.env.trim_observation
+    drift = cfg.env.drift_observation
+    out: dict[str, Any] = {}
+    if trim.enabled:
+        out.update(
+            trim_obs_enabled=True,
+            trim_obs_decay=jnp.float32(trim.decay),
+            trim_obs_tilt_scale=jnp.float32(trim.tilt_scale),
+            trim_obs_integral=trim.mode == "integral",
+            trim_obs_clip=jnp.float32(trim.integral_clip),
+        )
+    if drift.enabled:
+        out.update(
+            drift_obs_enabled=True,
+            drift_obs_vel_scale=jnp.float32(drift.vel_scale),
+            drift_obs_pos_scale=jnp.float32(drift.pos_scale),
+        )
+    return out
 
 
 SUITE_EPISODES = {"standard": 100, "robustness": 200, "stress": 50}
@@ -92,12 +122,12 @@ def run_suite(
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
     history_len: int = 1,
-    trim_obs: bool = False,
-    trim_mode: str = "ema",
+    obs_overrides: dict[str, Any] | None = None,
+    cg_offset_max: float | None = None,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
     env_params = _suite_env_params(
-        name, rocket_mass, trim_obs=trim_obs, trim_mode=trim_mode
+        name, rocket_mass, obs_overrides, cg_offset_max
     )
     eval_fn = jax.jit(
         make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim, history_len=history_len)
@@ -116,8 +146,8 @@ def run_all_suites(
     obs_dim: int | None = None,
     rocket_mass: float = 2.0,
     history_len: int = 1,
-    trim_obs: bool = False,
-    trim_mode: str = "ema",
+    obs_overrides: dict[str, Any] | None = None,
+    cg_offset_max: float | None = None,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -126,7 +156,7 @@ def run_all_suites(
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass,
-            history_len, trim_obs, trim_mode,
+            history_len, obs_overrides, cg_offset_max,
         )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")

@@ -53,6 +53,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tvc_ai_tpu.env import rocket_env
 from tvc_ai_tpu.env.types import EnvParams
 from tvc_ai_tpu.physics import integrator, quaternion as quat
 from tvc_ai_tpu.physics.types import RigidBodyState, RocketParams
@@ -279,6 +280,114 @@ def design_lqr(params: EnvParams) -> LQRDesign:
         trim_slope=slopes[0],
         trim_slope_pitch=slopes[1],
     )
+
+
+def generate_demonstrations(
+    key: jnp.ndarray,
+    env_params: EnvParams,
+    design: LQRDesign,
+    num_envs: int,
+    num_steps: int,
+    privileged: bool = False,
+    history_len: int = 1,
+) -> tuple[dict[str, jnp.ndarray], dict[str, float]]:
+    """Roll the LQR demonstration policy in a batch of envs and return
+    replay-ready transitions.
+
+    The envs run with ``env_params`` exactly as training will (domain
+    randomization draws, autoreset, observation channels incl. trim/drift),
+    so the stored (obs, action, reward, next_obs, done) tuples live in the
+    SAME observation space the learner trains on — the LQR itself acts on
+    the privileged body state, but nothing privileged leaks into the data.
+    With ``history_len > 1`` the stored views are the stacked
+    [oldest..newest] windows exactly as training.loop builds them.
+    ``privileged=True`` additionally tells the controller each episode's
+    true cg offset — MEASURED WORSE than blind (the trim feedforward
+    fights the touchdown transient; the blind LQR's position-integral
+    action finds the equilibrium naturally), kept for probes only.
+
+    Returns ``(transitions, stats)`` where transitions have shape
+    (num_steps, num_envs, ...) — the leading step axis lets the replay
+    write reuse the ring buffer's per-batch ``add_batch`` path — and
+    stats reports the demo success rate. Measured teacher quality (blind
+    LQR, nominal starts): 100 % at |cg_xy| < 0.02, ~42 % over uniform
+    2-axis draws at cg_offset_max 0.04 (direction-dependent marginal
+    stability in mixed-ratio quadrants; pure-axis and 45-degree diagonals
+    pass up to the ~0.049 ground-balance ceiling).
+    """
+    rp = env_params.rocket
+    env_keys = jax.random.split(key, num_envs)
+    states, obs = jax.vmap(rocket_env.reset, in_axes=(0, None))(
+        env_keys, env_params
+    )
+    window = None
+    if history_len > 1:
+        window = jnp.tile(obs[:, None, :], (1, history_len, 1))
+
+    def step_fn(carry, _):
+        states, obs, window = carry
+        d_known = (
+            states.dr.cg_offset
+            if privileged
+            else jnp.zeros((num_envs, 3), jnp.float32)
+        )
+        actions = lqr_action(states.body, design, d_known, rp)
+        nxt_states, out, next_obs = rocket_env.batched_step_autoreset(
+            states, actions, env_params, use_pallas=False
+        )
+        done = out.terminated | out.truncated
+        if history_len > 1:
+            stored_obs = window.reshape(num_envs, -1)
+            shifted = jnp.concatenate(
+                [window[:, 1:], out.obs[:, None, :]], axis=1
+            )
+            stored_next = shifted.reshape(num_envs, -1)
+            fresh = jnp.tile(next_obs[:, None, :], (1, history_len, 1))
+            nxt_window = jnp.where(done[:, None, None], fresh, shifted)
+        else:
+            stored_obs, stored_next, nxt_window = obs, out.obs, None
+        trans = {
+            "obs": stored_obs,
+            "action": actions,
+            "reward": out.reward,
+            # the TRUE next view (pre-autoreset); terminated-only done so
+            # truncation bootstraps — matches the fused loop's replay write
+            "next_obs": stored_next,
+            "done": out.terminated.astype(jnp.float32),
+        }
+        ep_done = done.astype(jnp.int32)
+        ep_succ = (done & out.mission_success).astype(jnp.int32)
+        return (nxt_states, next_obs, nxt_window), (trans, ep_done, ep_succ)
+
+    (_, _, _), (transitions, ep_done, ep_succ) = jax.lax.scan(
+        step_fn, (states, obs, window), None, length=num_steps
+    )
+    episodes = int(jnp.sum(ep_done))
+    successes = int(jnp.sum(ep_succ))
+    stats = {
+        "demo_transitions": float(num_steps * num_envs),
+        "demo_episodes": float(episodes),
+        "demo_success_rate": successes / max(episodes, 1),
+    }
+    return transitions, stats
+
+
+def seed_replay_buffer(buffer, transitions: dict[str, jnp.ndarray]):
+    """Write (T, B, ...) demonstration transitions into a ring replay buffer
+    one step-batch at a time (keeps ``add_batch``'s no-straddle invariant:
+    capacity must be a multiple of B, which the trainer guarantees by
+    generating demos with B = num_envs)."""
+    from tvc_ai_tpu.agents import replay as replay_mod
+
+    num_steps = next(iter(transitions.values())).shape[0]
+
+    def write(buf, batch):
+        return replay_mod.add_batch(buf, batch), None
+
+    buffer, _ = jax.lax.scan(
+        write, buffer, transitions, length=num_steps
+    )
+    return buffer
 
 
 def lqr_action(

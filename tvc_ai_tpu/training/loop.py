@@ -90,6 +90,12 @@ class TrainLoopConfig:
     # restoring the reference's per-episode 100-window semantics
     # (scripts/train.py:101-171) instead of iteration aggregates)
     episode_ring_size: int = 256
+    # fraction of every SAC batch drawn from the PERSISTENT demonstration
+    # buffer (TrainCarry.demo_buffer) instead of the online ring — DQfD-style
+    # mixed sampling. Seeding demos into the online ring alone decays: at
+    # 512 envs x 128 steps/iter the ring wraps in ~1M env steps and the
+    # demonstrations are gone for the remaining 99% of a campaign. 0 = off.
+    demo_fraction: float = 0.0
     curiosity: icm_mod.CuriosityConfig = dataclasses.field(
         default_factory=icm_mod.CuriosityConfig
     )
@@ -142,6 +148,9 @@ class TrainCarry:
     # hierarchical-mode extensions of the episode ring (None when off)
     ep_ring_goal: Any               # (K,) i32 episode goal
     ep_ring_goal_obs: Any           # (K, obs_dim) obs at goal selection
+    # persistent LQR-demonstration buffer (None unless demo_fraction > 0):
+    # never written during training, sampled into every update batch
+    demo_buffer: Any = None
 
 
 def policy_obs_dim(loop_cfg: TrainLoopConfig) -> int:
@@ -387,12 +396,30 @@ def make_train_iteration(
         buffer = replay_mod.add_batch(carry.buffer, transitions)
 
         # --- learn (static number of updates; gated on learning_starts)
+        n_demo = (
+            int(round(sac_cfg.batch_size * loop_cfg.demo_fraction))
+            if loop_cfg.demo_fraction > 0
+            else 0
+        )
+
         def do_updates(args):
             agent, key = args
             def one_update(agent_key, _):
                 agent, key = agent_key
-                k_s, k_u, key = jax.random.split(key, 3)
-                batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
+                k_s, k_d, k_u, key = jax.random.split(key, 4)
+                if n_demo > 0:
+                    # DQfD-style mixed batch: the demo buffer is static, so
+                    # the teacher's success trajectories stay in the batch
+                    # distribution for the whole campaign
+                    on = replay_mod.sample(
+                        buffer, k_s, sac_cfg.batch_size - n_demo
+                    )
+                    demo = replay_mod.sample(carry.demo_buffer, k_d, n_demo)
+                    batch = {
+                        k: jnp.concatenate([on[k], demo[k]]) for k in on
+                    }
+                else:
+                    batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
                 agent, metrics = sac_mod.update(
                     agent, batch, k_u, sac_cfg,
                     policy_obs_dim(loop_cfg), loop_cfg.action_dim, axis_name,
@@ -512,6 +539,7 @@ def make_train_iteration(
             ep_ring_ptr=ep_ring_ptr,
             ep_ring_goal=ep_ring_goal,
             ep_ring_goal_obs=ep_ring_goal_obs,
+            demo_buffer=carry.demo_buffer,
         )
         reward_mean = jnp.mean(out.reward)
         done_frac = jnp.mean(done.astype(jnp.float32))

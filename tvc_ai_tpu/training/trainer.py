@@ -154,7 +154,9 @@ class Trainer:
         # ---- device program(s)
         self.devices = jax.devices()
         self.mesh = None
-        if len(self.devices) > 1:
+        # mesh_devices: 0 = all available, 1 = explicit single-device (no
+        # mesh even on a multi-device host), N>1 = that many mesh devices
+        if len(self.devices) > 1 and cfg.hardware.mesh_devices != 1:
             from tvc_ai_tpu.parallel import mesh as mesh_mod
 
             n = cfg.hardware.mesh_devices or len(self.devices)
@@ -199,6 +201,12 @@ class Trainer:
         self.timer = StageTimer()
         self.carry = self._init_fn(self._next_key())
         self.stability.register_initial_params(self.carry.agent.actor_params)
+        if cfg.training.demo_seeding.enabled:
+            # also runs on resume: the restored buffers overwrite the seeded
+            # ones (field-by-field), so this only costs the generation time —
+            # and it guarantees the carry pytree STRUCTURE (demo_buffer
+            # present when fraction > 0) matches the checkpoint's
+            self._seed_demonstrations()
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints")
         # best checkpoints live in their own manager so periodic-save
         # garbage collection can never evict them (the reference's
@@ -226,6 +234,93 @@ class Trainer:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _seed_demonstrations(self) -> None:
+        """Seed the replay buffer with LQR ground-balance demonstrations
+        (training/demos.py; config training.demo_seeding). Runs once on
+        fresh starts, before the first iteration, so the critic sees the
+        CG-trim skill's value landscape — incl. the sparse completion
+        bonus — from the first gradient step."""
+        import copy
+
+        from tvc_ai_tpu.training import demos
+
+        ds = self.cfg.training.demo_seeding
+        if self.loop_cfg.use_hierarchical:
+            raise ValueError(
+                "training.demo_seeding does not support hierarchical mode "
+                "(demos would need goal-augmented views)"
+            )
+        if self.mesh is not None:
+            raise ValueError(
+                "training.demo_seeding is single-device for now (the sharded "
+                "replay buffer would need per-shard ring writes)"
+            )
+        n = ds.envs or self.loop_cfg.num_envs
+        if self.loop_cfg.num_envs % n != 0:
+            raise ValueError(
+                f"demo_seeding.envs ({n}) must divide training.num_envs "
+                f"({self.loop_cfg.num_envs}) so the replay ring's batch-write "
+                "invariant holds"
+            )
+        demo_cfg = copy.deepcopy(self.cfg)
+        dr = demo_cfg.env.domain_randomization
+        for name in (
+            "cg_offset_max",
+            "mass_variation",
+            "thrust_variation",
+            "wind_max",
+            "sensor_noise_std",
+            "dr_prob",
+        ):
+            v = getattr(ds, name)
+            if v is not None:
+                setattr(dr, name, v)
+        demo_params = build_env_params(demo_cfg)
+        design = demos.design_lqr(demo_params)
+        transitions, stats = demos.generate_demonstrations(
+            self._next_key(),
+            demo_params,
+            design,
+            n,
+            ds.steps,
+            privileged=ds.privileged,
+            history_len=self.loop_cfg.history_len,
+        )
+        total = ds.steps * n
+        if total > self.carry.buffer.capacity:
+            self.logger.info(
+                "demo seeding exceeds replay capacity (%d > %d): the ring "
+                "keeps only the most recent demos",
+                total,
+                self.carry.buffer.capacity,
+            )
+        updates = {
+            "buffer": demos.seed_replay_buffer(self.carry.buffer, transitions)
+        }
+        if ds.fraction > 0:
+            # persistent demo buffer for DQfD-style mixed sampling: exactly
+            # sized, fully filled, never written again
+            from tvc_ai_tpu.agents.replay import ReplayBuffer
+
+            example = {
+                k: jnp.zeros(v.shape[2:], v.dtype)
+                for k, v in transitions.items()
+            }
+            demo_buf = demos.seed_replay_buffer(
+                ReplayBuffer.create(total, example), transitions
+            )
+            updates["demo_buffer"] = demo_buf
+        self.carry = self.carry.replace(**updates)
+        self.logger.info(
+            "demo seeding: %d LQR transitions (%d episodes, %.1f%% success, "
+            "cg_max %.3f)",
+            int(stats["demo_transitions"]),
+            int(stats["demo_episodes"]),
+            100 * stats["demo_success_rate"],
+            float(demo_params.randomization.cg_offset_max),
+        )
+        self.logger.log_metrics(0, {f"demo/{k}": v for k, v in stats.items()})
 
     def _host_state(self) -> dict:
         return {
@@ -517,138 +612,154 @@ class Trainer:
                 with self.timer.stage("evaluate"):
                     eval_metrics = self.evaluate()
                 self.logger.log_metrics(self.env_steps, eval_metrics)
-                robust_part = (
-                    " robust %.2f%%"
-                    % (100 * eval_metrics["eval_robust_success_rate"])
-                    if "eval_robust_success_rate" in eval_metrics
-                    else ""
-                )
-                stage_part = (
-                    " stage %.2f%%"
-                    % (100 * eval_metrics["eval_stage_success_rate"])
-                    if "eval_stage_success_rate" in eval_metrics
-                    else ""
-                )
-                self.logger.info(
-                    "eval @ %s: success %.2f%% reward %.1f crash %.2f%%%s%s",
-                    f"{self.env_steps:,}",
-                    100 * eval_metrics["eval_success_rate"],
-                    eval_metrics["eval_reward_mean"],
-                    100 * eval_metrics["eval_crash_rate"],
-                    robust_part,
-                    stage_part,
-                )
-                # eval-driven curriculum promotion (the reference's signal:
-                # curriculum_manager.py:248 takes eval_metrics). Gated on the
-                # STAGE eval (the stage's own DR at dr_prob=1) when one
-                # exists: the nominal eval promoted every round-3 DR stage at
-                # 100% while the DR episodes themselves never succeeded.
-                if self.curriculum.update_eval(
-                    eval_metrics.get(
-                        "eval_stage_success_rate",
-                        eval_metrics["eval_success_rate"],
-                    )
-                ):
-                    stage = self.curriculum.get_environment_config()
-                    self.env_params = build_env_params(self.cfg, stage)
-                    self.stage_eval_env_params = self._build_stage_eval_params()
-                    self.logger.info(
-                        "curriculum advanced to stage %d (%s) [eval-driven]",
-                        self.curriculum.stage_idx,
-                        stage.name if stage else "graduated",
-                    )
-                    # the stage-eval tiebreak distribution changes at every
-                    # promotion — a high tiebreak earned on an easy early
-                    # stage must not permanently block capturing a strictly
-                    # better later policy whose harder-stage score is lower.
-                    # Only the stage fallback is non-stationary; the robust
-                    # eval (when configured) is one fixed distribution.
-                    if "eval_robust_success_rate" not in eval_metrics:
-                        self.best_nominal_key = (
-                            self.best_nominal_key[0],
-                            float("-inf"),
-                        )
-                # secondary best-capture: when the primary metric is the
-                # robust one, ALSO keep the best-nominal checkpoint (under
-                # DR training the two diverge sharply, and the robust metric
-                # staying at 0 would otherwise discard every nominal peak —
-                # measured loss of a 100%-nominal policy that way)
-                # lexicographic (nominal, robust-or-stage) key: a nominal
-                # metric that saturates at 1.0 early must not freeze the
-                # capture — round 3 lost a far more robust 100%-nominal
-                # policy because best-nominal had hit 1.000 at 8.6M steps
-                # and every later 100% eval tied
-                nominal_key = (
-                    eval_metrics["eval_success_rate"],
-                    eval_metrics.get(
-                        "eval_robust_success_rate",
-                        eval_metrics.get(
-                            "eval_stage_success_rate", float("-inf")
-                        ),
-                    ),
-                )
-                if (
-                    cfg.early_stopping.metric != "eval_success_rate"
-                    and cfg.checkpointing.save_best
-                    and nominal_key > self.best_nominal_key
-                ):
-                    self.best_nominal_key = nominal_key
-                    with self.timer.stage("checkpoint"):
-                        self.ckpt_best_nominal.save(
-                            self.env_steps, self.carry, self._host_state()
-                        )
-                    self.logger.info(
-                        "new best (eval_success_rate=%.3f, tiebreak=%.3f) "
-                        "— nominal checkpoint saved",
-                        nominal_key[0],
-                        nominal_key[1],
-                    )
-                metric = eval_metrics.get(
-                    cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
-                )
-                # best-checkpoint capture fires on ANY improvement;
-                # min_improvement only gates the early-stopping patience
-                # counter (otherwise a 98.4%→100% eval would go unsaved)
-                if metric > self.best_metric:
-                    self.best_metric = metric
-                    if cfg.checkpointing.save_best:
-                        with self.timer.stage("checkpoint"):
-                            self.ckpt_best.save(
-                                self.env_steps, self.carry, self._host_state()
-                            )
-                        self.logger.info(
-                            "new best %s=%.3f — checkpoint saved",
-                            cfg.early_stopping.metric,
-                            metric,
-                        )
-                # patience tracks a SEPARATE significant-improvement baseline
-                # that only moves on gains > min_improvement: a metric creeping
-                # up by sub-threshold amounts every eval still exhausts
-                # patience (best_metric moves on any gain, so gating on it
-                # would freeze the counter forever)
-                if (
-                    metric
-                    > self.best_significant_metric
-                    + cfg.early_stopping.min_improvement
-                ):
-                    self.best_significant_metric = metric
-                    self.eval_rounds_since_improvement = 0
-                else:
-                    self.eval_rounds_since_improvement += 1
-                    if (
-                        cfg.early_stopping.enabled
-                        and self.eval_rounds_since_improvement
-                        >= cfg.early_stopping.patience
-                    ):
-                        self.logger.info(
-                            "early stopping after %d eval rounds w/o improvement",
-                            self.eval_rounds_since_improvement,
-                        )
-                        return "early_stopping"
+                outcome = self._apply_eval_outcome(eval_metrics)
+                if outcome is not None:
+                    return outcome
             elif cfg.checkpointing.save_periodic and self.iteration % save_every == 0:
                 with self.timer.stage("checkpoint"):
                     self.ckpt.save(self.env_steps, self.carry, self._host_state())
         return "total_timesteps"
+
+    def _apply_eval_outcome(self, eval_metrics: dict) -> str | None:
+        """Host-side gating on one eval round: stage-gated curriculum
+        promotion, lexicographic best-nominal capture, primary best capture,
+        early-stopping patience. Factored out of the train loop so this
+        logic — the class that silently mispromoted for a whole 137M-step
+        campaign in round 3 — is unit-testable with scripted metrics
+        (tests/test_trainer.py). Returns a stop reason or None."""
+        cfg = self.cfg.training
+        robust_part = (
+            " robust %.2f%%"
+            % (100 * eval_metrics["eval_robust_success_rate"])
+            if "eval_robust_success_rate" in eval_metrics
+            else ""
+        )
+        stage_part = (
+            " stage %.2f%%"
+            % (100 * eval_metrics["eval_stage_success_rate"])
+            if "eval_stage_success_rate" in eval_metrics
+            else ""
+        )
+        self.logger.info(
+            "eval @ %s: success %.2f%% reward %.1f crash %.2f%%%s%s",
+            f"{self.env_steps:,}",
+            100 * eval_metrics["eval_success_rate"],
+            eval_metrics["eval_reward_mean"],
+            100 * eval_metrics["eval_crash_rate"],
+            robust_part,
+            stage_part,
+        )
+        # eval-driven curriculum promotion (the reference's signal:
+        # curriculum_manager.py:248 takes eval_metrics). Gated on the
+        # STAGE eval (the stage's own DR at dr_prob=1) when one
+        # exists: the nominal eval promoted every round-3 DR stage at
+        # 100% while the DR episodes themselves never succeeded.
+        promoted = self.curriculum.update_eval(
+            eval_metrics.get(
+                "eval_stage_success_rate",
+                eval_metrics["eval_success_rate"],
+            )
+        )
+        if promoted:
+            stage = self.curriculum.get_environment_config()
+            self.env_params = build_env_params(self.cfg, stage)
+            self.stage_eval_env_params = self._build_stage_eval_params()
+            self.logger.info(
+                "curriculum advanced to stage %d (%s) [eval-driven]",
+                self.curriculum.stage_idx,
+                stage.name if stage else "graduated",
+            )
+            # the stage-eval tiebreak distribution changes at every
+            # promotion — a high tiebreak earned on an easy early
+            # stage must not permanently block capturing a strictly
+            # better later policy whose harder-stage score is lower.
+            # Only the stage fallback is non-stationary; the robust
+            # eval (when configured) is one fixed distribution.
+            if "eval_robust_success_rate" not in eval_metrics:
+                self.best_nominal_key = (
+                    self.best_nominal_key[0],
+                    float("-inf"),
+                )
+        # secondary best-capture: when the primary metric is the
+        # robust one, ALSO keep the best-nominal checkpoint (under
+        # DR training the two diverge sharply, and the robust metric
+        # staying at 0 would otherwise discard every nominal peak —
+        # measured loss of a 100%-nominal policy that way)
+        # lexicographic (nominal, robust-or-stage) key: a nominal
+        # metric that saturates at 1.0 early must not freeze the
+        # capture — round 3 lost a far more robust 100%-nominal
+        # policy because best-nominal had hit 1.000 at 8.6M steps
+        # and every later 100% eval tied
+        # the promoting round's own stage score was measured on the OLD
+        # stage's distribution — it must not seed the fresh tiebreak either
+        stage_tiebreak = (
+            float("-inf")
+            if promoted
+            else eval_metrics.get("eval_stage_success_rate", float("-inf"))
+        )
+        nominal_key = (
+            eval_metrics["eval_success_rate"],
+            eval_metrics.get("eval_robust_success_rate", stage_tiebreak),
+        )
+        if (
+            cfg.early_stopping.metric != "eval_success_rate"
+            and cfg.checkpointing.save_best
+            and nominal_key > self.best_nominal_key
+        ):
+            self.best_nominal_key = nominal_key
+            with self.timer.stage("checkpoint"):
+                self.ckpt_best_nominal.save(
+                    self.env_steps, self.carry, self._host_state()
+                )
+            self.logger.info(
+                "new best (eval_success_rate=%.3f, tiebreak=%.3f) "
+                "— nominal checkpoint saved",
+                nominal_key[0],
+                nominal_key[1],
+            )
+        metric = eval_metrics.get(
+            cfg.early_stopping.metric, eval_metrics["eval_success_rate"]
+        )
+        # best-checkpoint capture fires on ANY improvement;
+        # min_improvement only gates the early-stopping patience
+        # counter (otherwise a 98.4%→100% eval would go unsaved)
+        if metric > self.best_metric:
+            self.best_metric = metric
+            if cfg.checkpointing.save_best:
+                with self.timer.stage("checkpoint"):
+                    self.ckpt_best.save(
+                        self.env_steps, self.carry, self._host_state()
+                    )
+                self.logger.info(
+                    "new best %s=%.3f — checkpoint saved",
+                    cfg.early_stopping.metric,
+                    metric,
+                )
+        # patience tracks a SEPARATE significant-improvement baseline
+        # that only moves on gains > min_improvement: a metric creeping
+        # up by sub-threshold amounts every eval still exhausts
+        # patience (best_metric moves on any gain, so gating on it
+        # would freeze the counter forever)
+        if (
+            metric
+            > self.best_significant_metric
+            + cfg.early_stopping.min_improvement
+        ):
+            self.best_significant_metric = metric
+            self.eval_rounds_since_improvement = 0
+        else:
+            self.eval_rounds_since_improvement += 1
+            if (
+                cfg.early_stopping.enabled
+                and self.eval_rounds_since_improvement
+                >= cfg.early_stopping.patience
+            ):
+                self.logger.info(
+                    "early stopping after %d eval rounds w/o improvement",
+                    self.eval_rounds_since_improvement,
+                )
+                return "early_stopping"
+        return None
 
     # ------------------------------------------------------------------ eval
     def _build_stage_eval_params(self):

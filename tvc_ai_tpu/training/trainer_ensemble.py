@@ -39,6 +39,7 @@ def build_ensemble_config(cfg: FrameworkConfig) -> ens.EnsembleConfig:
         algorithms=tuple(a.ensemble.algorithms),
         selection_strategy=a.ensemble.selection_strategy,
         performance_window=a.ensemble.performance_window,
+        selection_epsilon=a.ensemble.selection_epsilon,
         # the FULL solo-path SAC config (an earlier inline copy dropped
         # ent_coef/auto-entropy, ema_decay, reward_scale and compute_dtype —
         # the member ran auto-alpha which exploded to 27 within 6M steps,
