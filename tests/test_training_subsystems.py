@@ -375,3 +375,100 @@ def test_curriculum_stage_overlays_hard_axes_and_dwell():
     for _ in range(30):
         assert not cm2.update(episodes_finished=10, success_rate=1.0)
     assert cm2.update(episodes_finished=10, success_rate=1.0, env_steps=1000)
+
+
+@pytest.mark.slow
+def test_lqr_schedule_matches_single_design_at_nominal():
+    """design_lqr_schedule's vectorized fast path (analytic d=0 equilibrium,
+    vmapped four-corner Jacobians, implicit-function trim slope) must agree
+    with the nested-bisection design_lqr at the nominal (mass, thrust) cell —
+    the schedule is the DAgger teacher, so a synthesis divergence would
+    silently poison every label."""
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.training import demos
+
+    params = build_env_params(FrameworkConfig())
+    single = demos.design_lqr(params)
+    sched = demos.design_lqr_schedule(params, n_mass=3, n_tscale=3)
+    at = demos.interp_design(
+        sched, jnp.float32(params.rocket.mass), jnp.float32(1.0)
+    )
+    for name in ("gain", "gain_pitch"):
+        a = np.asarray(getattr(single, name))
+        b = np.asarray(getattr(at, name))
+        rel = np.max(np.abs(a - b) / (np.abs(a) + 1e-3))
+        assert rel < 1e-3, (name, a, b)
+    assert float(at.z_eq) == pytest.approx(float(single.z_eq), abs=1e-5)
+    assert float(at.trim_slope) == pytest.approx(
+        float(single.trim_slope), rel=2e-2
+    )
+    # interpolation at a non-grid point stays between the bracketing cells
+    import jax.numpy as _jnp
+
+    mid_mass = 0.5 * (sched.mass_grid[0] + sched.mass_grid[1])
+    mid = demos.interp_design(sched, mid_mass, _jnp.float32(1.0))
+    lo = demos.interp_design(sched, sched.mass_grid[0], _jnp.float32(1.0))
+    hi = demos.interp_design(sched, sched.mass_grid[1], _jnp.float32(1.0))
+    g_mid, g_lo, g_hi = (
+        np.asarray(mid.gain), np.asarray(lo.gain), np.asarray(hi.gain)
+    )
+    assert np.all(g_mid >= np.minimum(g_lo, g_hi) - 1e-6)
+    assert np.all(g_mid <= np.maximum(g_lo, g_hi) + 1e-6)
+
+
+def test_dagger_iteration_reduces_bc_loss():
+    """One tiny DAgger iteration on CPU: the fused collect+train program
+    compiles, fills the ring dataset, and the regression loss drops — the
+    r4 distillation hot path (training/dagger.py)."""
+    import optax
+
+    from tvc_ai_tpu.agents import sac as sac_mod
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.env.types import obs_dim as obs_dim_of
+    from tvc_ai_tpu.training import dagger, demos
+
+    cfg = FrameworkConfig()
+    cfg.env.drift_observation.enabled = True
+    cfg.env.action_observation.enabled = True
+    params = build_env_params(cfg)
+    obs_dim = obs_dim_of(params)
+    assert obs_dim == 16  # 10 + 4 drift + 2 prev-action
+
+    design = demos.design_lqr(params)
+    rp = params.rocket
+
+    def teacher_fn(env_states):
+        return demos.lqr_action(
+            env_states.body,
+            design,
+            jnp.zeros_like(env_states.dr.cg_offset),
+            rp,
+        )
+
+    sac_cfg = sac_mod.SACConfig(hidden_dims=(32, 32))
+    dcfg = dagger.DaggerConfig(
+        num_envs=8,
+        rollout_steps=16,
+        capacity=8 * 16 * 2,
+        batch_size=32,
+        train_steps=40,
+        history_len=2,
+    )
+    key = jax.random.PRNGKey(0)
+    k_init, k_env, k_it = jax.random.split(key, 3)
+    template = sac_mod.init(k_init, obs_dim * 2, 2, sac_cfg)
+    opt = optax.adam(dcfg.lr)
+    state = dagger.init_state(
+        k_env, params, template.actor_params, opt, dcfg, obs_dim, 2
+    )
+    it = dagger.make_dagger_iteration(
+        params, teacher_fn, sac_cfg, dcfg, obs_dim, 2
+    )
+    state, m = it(state, k_it, jnp.float32(1.0))
+    assert int(state.size) == 8 * 16
+    assert np.isfinite(float(m["bc_loss_first"]))
+    assert float(m["bc_loss_last"]) < float(m["bc_loss_first"])
+    # ring wrap: a second iteration fills to capacity, pointer returns to 0
+    state, m2 = it(state, jax.random.PRNGKey(9), jnp.float32(0.5))
+    assert int(state.size) == dcfg.capacity
+    assert int(state.ptr) == 0

@@ -72,6 +72,16 @@ class SACConfig:
     # compute dtype of the hidden matmul stack: "float32" (default) or
     # "bfloat16" (MXU-native; params stay fp32, output heads stay fp32)
     compute_dtype: str = "float32"
+    # Q-filtered behavior cloning on demonstration samples (SACfD/TD3+BC
+    # style): when > 0 and the batch carries a "demo_mask", the actor loss
+    # adds bc_weight * MSE(tanh(mu(s)), a_demo) over demo entries whose
+    # stored action the current critic scores HIGHER than the policy's own
+    # (the Q-filter keeps the teacher from dragging the policy down where
+    # the policy has surpassed it). Measured rationale (RESULTS.md r4): demo
+    # transitions in replay alone moved the critic but not the actor — at
+    # 34M steps the policy was 100% nominal and ~2% on the cg distribution
+    # its persistent demo buffer demonstrates at ~50% success.
+    bc_weight: float = 0.0
     # policy architecture: "mlp" (default) or "transformer" — the reference's
     # flagship TransformerPolicyNetwork (network.architecture_type in its
     # config); critics stay MLP in both cases (ref SAC member :592-612)
@@ -262,16 +272,36 @@ def update(
     )
     critic_params = optax.apply_updates(state.critic_params, c_updates)
 
-    # ---- actor: reparameterized policy gradient
+    # ---- actor: reparameterized policy gradient (+ optional Q-filtered BC
+    #      toward demonstration actions; see SACConfig.bc_weight)
+    use_bc = cfg.bc_weight > 0 and "demo_mask" in batch
+
     def actor_loss_fn(params):
         mean, log_std = actor.apply(params, batch["obs"])
         action, logp = dist.sample_and_log_prob(k_pi, mean, log_std)
         q1, q2 = critic.apply(critic_params, batch["obs"], action)
         q = jnp.minimum(q1, q2)
         loss = jnp.mean(alpha * logp - q)
-        return loss, logp
+        bc_loss = jnp.float32(0.0)
+        if use_bc:
+            dq1, dq2 = critic.apply(
+                critic_params, batch["obs"], batch["action"]
+            )
+            better = jnp.minimum(dq1, dq2) > q
+            gate = batch["demo_mask"] * jax.lax.stop_gradient(
+                better.astype(jnp.float32)
+            )
+            mu = jnp.tanh(mean)
+            per = jnp.mean((mu - batch["action"]) ** 2, axis=-1)
+            bc_loss = jnp.sum(gate * per) / jnp.maximum(jnp.sum(gate), 1.0)
+            # scale-free weighting (TD3+BC): the policy-gradient term is
+            # O(|Q|) (thousands here), the BC term O(1) — normalize by the
+            # batch's |Q| so bc_weight is a dimensionless ~1-5 knob
+            q_scale = jax.lax.stop_gradient(jnp.mean(jnp.abs(q))) + 1e-6
+            loss = loss + cfg.bc_weight * q_scale * bc_loss
+        return loss, (logp, bc_loss)
 
-    (actor_loss, logp), actor_grads = jax.value_and_grad(
+    (actor_loss, (logp, bc_loss)), actor_grads = jax.value_and_grad(
         actor_loss_fn, has_aux=True
     )(state.actor_params)
     actor_grads = maybe_pmean(actor_grads)
@@ -335,4 +365,6 @@ def update(
         "q2_mean": q2_mean,
         "entropy": -jnp.mean(logp),
     }
+    if use_bc:
+        metrics["bc_loss"] = bc_loss
     return new_state, metrics

@@ -144,6 +144,7 @@ def build_env_params(
         drift_obs_enabled=drift.enabled,
         drift_obs_vel_scale=jnp.float32(drift.vel_scale),
         drift_obs_pos_scale=jnp.float32(drift.pos_scale),
+        action_obs_enabled=e.action_observation.enabled,
     )
 
 
@@ -167,6 +168,13 @@ def build_sac_config(cfg: FrameworkConfig) -> SACConfig:
         learning_starts=s.learning_starts,
         gradient_clip_norm=s.grad_clip_norm,
         reward_scale=s.reward_scale,
+        # Q-filtered BC toward demo actions; only meaningful when the loop
+        # mixes demo batches (training.demo_seeding.fraction > 0)
+        bc_weight=(
+            cfg.training.demo_seeding.bc_weight
+            if cfg.training.demo_seeding.enabled
+            else 0.0
+        ),
         architecture=cfg.network.architecture_type,
         transformer_d_model=cfg.network.transformer.d_model,
         transformer_layers=cfg.network.transformer.num_layers,
@@ -217,7 +225,12 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
     rnd = cfg.exploration.random_network_distillation
     sc = cfg.safety.constraints
     pi = cfg.physics_informed
-    from tvc_ai_tpu.env.types import DRIFT_OBS_DIM, OBS_DIM, TRIM_OBS_DIM
+    from tvc_ai_tpu.env.types import (
+        ACTION_OBS_DIM,
+        DRIFT_OBS_DIM,
+        OBS_DIM,
+        TRIM_OBS_DIM,
+    )
 
     return TrainLoopConfig(
         num_envs=t.num_envs,
@@ -226,7 +239,8 @@ def build_loop_config(cfg: FrameworkConfig) -> TrainLoopConfig:
         update_interval=t.update_interval,
         obs_dim=OBS_DIM
         + (TRIM_OBS_DIM if cfg.env.trim_observation.enabled else 0)
-        + (DRIFT_OBS_DIM if cfg.env.drift_observation.enabled else 0),
+        + (DRIFT_OBS_DIM if cfg.env.drift_observation.enabled else 0)
+        + (ACTION_OBS_DIM if cfg.env.action_observation.enabled else 0),
         demo_fraction=(
             t.demo_seeding.fraction if t.demo_seeding.enabled else 0.0
         ),

@@ -397,6 +397,12 @@ class DemoSeedingConfig:
     # a 100M+ campaign. With fraction > 0 the demos also live in
     # TrainCarry.demo_buffer and stay in the batch distribution forever.
     fraction: float = 0.0
+    # Q-filtered behavior-cloning weight on demo samples in the actor loss
+    # (agents/sac.py SACConfig.bc_weight; needs fraction > 0). Measured r4:
+    # demo transitions in replay moved the critic but NOT the actor — at
+    # 34M steps the policy was 100% nominal yet ~2% on the cg distribution
+    # its demo buffer demonstrates at ~50%; BC is the actor-side coupling.
+    bc_weight: float = 0.0
     # demo DR distribution overrides (None = inherit the corresponding
     # env.domain_randomization value). The default demo distribution should
     # concentrate where the teacher is competent (cg feasible range, modest
@@ -407,6 +413,12 @@ class DemoSeedingConfig:
     wind_max: float | None = None
     sensor_noise_std: float | None = None
     dr_prob: float | None = None
+    # initial-condition overrides: match the curriculum stage the demos
+    # must cover (e.g. cg_feasible starts tilted 0.05 rad with 0.2 rad/s
+    # spin — demos from nominal starts never show the recovery-into-balance
+    # the learner needs there)
+    init_tilt_max: float | None = None
+    init_omega_max: float | None = None
     # tell the controller each episode's true cg offset (measured WORSE
     # than blind — probes only)
     privileged: bool = False
@@ -509,6 +521,21 @@ class DriftObservationConfig:
 
 
 @dataclass
+class ActionObservationConfig:
+    """Opt-in previous-action channels appended to the observation (+2
+    dims, already [-1, 1]). With history stacking the policy input becomes
+    (obs, action) pairs — the system-identification window a blind policy
+    needs to infer the episode's mass/thrust draw from the response it
+    provokes. Measured motivation (RESULTS.md r4): the nominal-plant LQR
+    scores ~77 % under mass ±30 % or thrust ±20 % alone but 3 % on the
+    full robustness suite; the gain-SCHEDULED (param-aware) LQR is the
+    teacher, and these channels are what make the blind student's
+    identification problem well-posed. See env/types.py ACTION_OBS_DIM."""
+
+    enabled: bool = False
+
+
+@dataclass
 class EnvSection:
     max_episode_steps: int = 1000
     physics_timestep: float = 0.02
@@ -536,6 +563,9 @@ class EnvSection:
     )
     drift_observation: DriftObservationConfig = field(
         default_factory=DriftObservationConfig
+    )
+    action_observation: ActionObservationConfig = field(
+        default_factory=ActionObservationConfig
     )
 
 

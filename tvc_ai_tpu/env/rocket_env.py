@@ -141,6 +141,19 @@ def _append_drift(
     return jnp.concatenate([obs, drift]).astype(jnp.float32)
 
 
+def _append_action(
+    obs: jnp.ndarray, action: jnp.ndarray, params: EnvParams
+) -> jnp.ndarray:
+    """Append the commanded action (already [-1, 1]) when the static gate is
+    on (obs += 2); compiled away entirely when off. With history stacking
+    the policy input becomes (obs, action) pairs — the system-ID window a
+    blind student needs to infer the episode's mass/thrust draw (see
+    ACTION_OBS_DIM in env/types.py)."""
+    if not params.action_obs_enabled:
+        return obs
+    return jnp.concatenate([obs, action]).astype(jnp.float32)
+
+
 def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     """Reset one env: nominal pose [0,0,1]/identity (ref :434-441) plus any
     configured initial-condition randomization (curriculum/legacy spec).
@@ -188,6 +201,7 @@ def reset(key: jnp.ndarray, params: EnvParams) -> tuple[EnvState, jnp.ndarray]:
     trim = jnp.zeros(TRIM_OBS_DIM, jnp.float32)
     obs = _append_trim(obs, trim, params)
     obs = _append_drift(obs, body, params)
+    obs = _append_action(obs, jnp.zeros(ACTION_DIM, jnp.float32), params)
     state = EnvState(
         body=body,
         fuel=jnp.float32(1.0),
@@ -305,6 +319,7 @@ def _post_physics(
             trim = d * trim + (1.0 - d) * jnp.concatenate([obs[:2], action])
         obs = _append_trim(obs, trim, params)
     obs = _append_drift(obs, body, params)
+    obs = _append_action(obs, action, params)
 
     # 5. mission FSM + success window (post-physics quantities)
     new_phase, completed = mission_mod.update_phase(

@@ -36,14 +36,25 @@ TRIM_OBS_DIM = 4
 # (EnvParams.drift_obs_enabled): [vx, vy, x, y] scaled — an idealized-INS
 # horizontal velocity + position-drift estimate (see EnvParams docstring)
 DRIFT_OBS_DIM = 4
+# optional action-observation channels appended after the drift block
+# (EnvParams.action_obs_enabled): the previously commanded [pitch, yaw] in
+# [-1, 1]. With history stacking this turns the policy input into
+# (obs, action) pairs — the system-identification window a blind policy
+# needs to infer the episode's mass/thrust draw from the response it
+# provokes (RMA-style teacher-student distillation; RESULTS.md r4: the
+# nominal-plant LQR collapses 77%→3% when the mass/thrust axes combine,
+# so param-adaptivity IS the missing robust skill).
+ACTION_OBS_DIM = 2
 
 
 def obs_dim(params: "EnvParams") -> int:
-    """Actual observation width for a parameterization (10, +4 trim, +4 drift)."""
+    """Actual observation width for a parameterization (10, +4 trim, +4
+    drift, +2 prev-action)."""
     return (
         OBS_DIM
         + (TRIM_OBS_DIM if params.trim_obs_enabled else 0)
         + (DRIFT_OBS_DIM if params.drift_obs_enabled else 0)
+        + (ACTION_OBS_DIM if params.action_obs_enabled else 0)
     )
 
 
@@ -298,6 +309,9 @@ class EnvParams:
     drift_obs_pos_scale: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.5)
     )
+    # Append the previously commanded action (2 channels, already [-1, 1])
+    # to the observation. See ACTION_OBS_DIM for the rationale.
+    action_obs_enabled: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

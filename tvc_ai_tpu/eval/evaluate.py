@@ -107,6 +107,8 @@ def obs_overrides_from_config(cfg: Any) -> dict[str, Any]:
             drift_obs_vel_scale=jnp.float32(drift.vel_scale),
             drift_obs_pos_scale=jnp.float32(drift.pos_scale),
         )
+    if cfg.env.action_observation.enabled:
+        out.update(action_obs_enabled=True)
     return out
 
 

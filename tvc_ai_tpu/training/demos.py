@@ -240,7 +240,20 @@ _LIN_SPIN = 0.01
 
 
 def design_lqr(params: EnvParams) -> LQRDesign:
-    """Synthesize per-plane ground-balance LQR gains from the true step map."""
+    """Synthesize per-plane ground-balance LQR gains from the true step map.
+
+    Pinned to the host CPU backend: the synthesis is hundreds of TINY jitted
+    calls (nested-bisection residual evals, 6×6 Jacobians) — on a TPU
+    backend each pays device-dispatch/tunnel latency and the whole design
+    takes minutes instead of seconds, while the result is a handful of
+    scalars consumed at trace time.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _design_lqr_impl(params)
+
+
+def _design_lqr_impl(params: EnvParams) -> LQRDesign:
     rp = params.rocket
     gains = []
     slopes = []
@@ -280,6 +293,204 @@ def design_lqr(params: EnvParams) -> LQRDesign:
         trim_slope=slopes[0],
         trim_slope_pitch=slopes[1],
     )
+
+
+class LQRSchedule(NamedTuple):
+    """Gain-scheduled ground-balance LQR over the (mass, thrust-scale) DR
+    grid — the privileged teacher for robustness distillation.
+
+    Measured motivation (scripts/suite_feasibility.py + per-axis ablation,
+    RESULTS.md r4): the single nominal-plant LQR scores 100 % under 3 N
+    wind and ~77 % under either mass ±30 % or thrust ±20 % ALONE, but 3 %
+    on the full robustness suite — the off-nominal (mass, thrust) draws
+    shift the standing equilibrium (z_eq, trim slope ∂θ*/∂d AND the
+    thrust-to-weight ratio the gains were tuned for) far enough that the
+    fixed gains destabilize when the axes combine with a CG offset. The
+    fix is classical gain scheduling: synthesize the SAME design at each
+    grid point of the drawn-parameter box and bilinearly interpolate.
+    The schedule is privileged (it reads each episode's true mass and
+    thrust draw) — it exists to LABEL data for a blind history-conditioned
+    student (RMA-style teacher-student distillation), and as the
+    feasibility oracle for the evaluation suites.
+    """
+
+    mass_grid: jnp.ndarray          # (M,) kg
+    tscale_grid: jnp.ndarray        # (T,)
+    gain: jnp.ndarray               # (M, T, 6) yaw-plane gains
+    gain_pitch: jnp.ndarray         # (M, T, 6)
+    z_eq: jnp.ndarray               # (M, T)
+    trim_slope: jnp.ndarray         # (M, T)
+    trim_slope_pitch: jnp.ndarray   # (M, T)
+
+
+def design_lqr_schedule(
+    params: EnvParams,
+    n_mass: int = 5,
+    n_tscale: int = 5,
+    ttw_margin: float = 0.95,
+) -> LQRSchedule:
+    """Synthesize the LQR at every (mass, thrust-scale) grid point of the
+    env's DR box (mass uniform ±mass_variation, thrust normal clipped to
+    ±2·thrust_variation — env/randomization.py:36-42).
+
+    Grid points where the drawn thrust exceeds ``ttw_margin`` × the
+    double-gravity weight have no standing equilibrium (the vehicle climbs
+    away; those episodes are unwinnable by any controller) — the design
+    clamps the thrust down to the margin so the schedule stays rectangular;
+    interpolated gains near the boundary inherit the nearest feasible
+    design.
+
+    Fast path (vs the nested-bisection ``solve_equilibrium`` the single
+    design uses): at d = 0 the standing equilibrium is analytic by symmetry
+    — theta* = 0, u* = 0, depth* = (m·g_eff − T)/k_contact — and the trim
+    slope follows from the implicit function theorem on the static torque
+    residual with the lateral-balance constraint u = −theta substituted:
+    dθ*/dd = −F_d/F_θ (central finite differences; jax.jacobian through
+    the contact/friction norms at rest is NaN-poisoned, plain evaluation
+    is not). All grid cells run in ONE vmapped XLA program per plane; only
+    the 6×6 Riccati iterations stay on host. ~50× faster than bisection
+    per cell, validated against ``design_lqr`` at the nominal cell
+    (tests/test_training_subsystems.py).
+    """
+    rp = params.rocket
+    rnd = params.randomization
+    g_eff = 2.0 * float(rp.gravity)
+    mv = float(rnd.mass_variation)
+    tv = float(rnd.thrust_variation)
+    m0 = float(rp.mass)
+    t0 = float(rp.thrust)
+    mass_grid = np.linspace(m0 * (1.0 - mv), m0 * (1.0 + mv), n_mass)
+    tscale_grid = np.linspace(1.0 - 2.0 * tv, 1.0 + 2.0 * tv, n_tscale)
+    mm, tt = np.meshgrid(mass_grid, tscale_grid, indexing="ij")
+    mass_flat = jnp.asarray(mm.ravel(), jnp.float32)
+    thrust_flat = jnp.asarray(
+        np.minimum(tt.ravel() * t0, ttw_margin * mm.ravel() * g_eff),
+        jnp.float32,
+    )
+    stiffness = float(rp.contact_stiffness)
+    length = float(rp.length)
+
+    cpu = jax.devices("cpu")[0]
+    shape = (n_mass, n_tscale)
+    out = {}
+    with jax.default_device(cpu):
+        for pitch in (False, True):
+
+            def cell(m, t):
+                rp_c = rp.replace(mass=m, thrust=t)
+                depth = (m * g_eff - t) / stiffness
+                z0 = 0.5 * length - depth
+
+                def f(s, u):
+                    return _plane_step(s, u, jnp.float32(0.0), rp_c, pitch)
+
+                a = jnp.zeros((6, 6))
+                b = jnp.zeros((6,))
+                for slip in (_LIN_SLIP, -_LIN_SLIP):
+                    for spin in (_LIN_SPIN, -_LIN_SPIN):
+                        s_star = jnp.array(
+                            [0.0, 0.0, 0.0, slip, 0.0, spin]
+                        ) + z0 * jnp.array([0.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+                        a = a + 0.25 * jax.jacobian(f, argnums=0)(
+                            s_star, jnp.float32(0.0)
+                        )
+                        b = b + 0.25 * jax.jacobian(f, argnums=1)(
+                            s_star, jnp.float32(0.0)
+                        )
+
+                # trim slope dtheta*/dd = -F_d/F_theta on the static torque
+                # residual with u = -theta (lateral balance) substituted
+                def torque_res(theta, d):
+                    q3 = jnp.stack([theta, -theta, depth])
+                    return _static_residual(q3, d, rp_c, pitch)[2]
+
+                eps = jnp.float32(1e-3)
+                zero = jnp.float32(0.0)
+                f_th = (torque_res(eps, zero) - torque_res(-eps, zero)) / (
+                    2.0 * eps
+                )
+                f_d = (torque_res(zero, eps) - torque_res(zero, -eps)) / (
+                    2.0 * eps
+                )
+                return a, b, z0, -f_d / f_th
+
+            a_all, b_all, z0_all, slope_all = jax.jit(jax.vmap(cell))(
+                mass_flat, thrust_flat
+            )
+            a_np = np.asarray(a_all, np.float64)
+            b_np = np.asarray(b_all, np.float64).reshape(-1, 6, 1)
+            gains = np.stack(
+                [
+                    _dlqr(a_np[i], b_np[i], np.diag(_Q_DIAG), np.array([[_R]]))[0]
+                    for i in range(a_np.shape[0])
+                ]
+            )
+            suffix = "_pitch" if pitch else ""
+            out["gain" + suffix] = gains.reshape(shape + (6,)).astype(
+                np.float32
+            )
+            out["trim_slope" + suffix] = (
+                np.asarray(slope_all).reshape(shape).astype(np.float32)
+            )
+            if not pitch:
+                out["z_eq"] = np.asarray(z0_all).reshape(shape).astype(
+                    np.float32
+                )
+    return LQRSchedule(
+        mass_grid=jnp.asarray(mass_grid, jnp.float32),
+        tscale_grid=jnp.asarray(tscale_grid, jnp.float32),
+        **{k: jnp.asarray(v) for k, v in out.items()},
+    )
+
+
+def interp_design(
+    sched: LQRSchedule, mass: jnp.ndarray, thrust_scale: jnp.ndarray
+) -> LQRDesign:
+    """Bilinear interpolation of the schedule at per-env (mass, thrust
+    scale) draws → a batched LQRDesign pytree ``lqr_action`` consumes
+    directly (its einsum/broadcast forms accept leading batch axes)."""
+
+    def axis_coords(grid, x):
+        x = jnp.clip(x, grid[0], grid[-1])
+        f = (x - grid[0]) / (grid[-1] - grid[0]) * (grid.shape[0] - 1)
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, grid.shape[0] - 2)
+        return i0, f - i0
+
+    mi, mw = axis_coords(sched.mass_grid, mass)
+    ti, tw = axis_coords(sched.tscale_grid, thrust_scale)
+
+    def bilerp(table):
+        c00 = table[mi, ti]
+        c01 = table[mi, ti + 1]
+        c10 = table[mi + 1, ti]
+        c11 = table[mi + 1, ti + 1]
+        wm = mw[..., None] if table.ndim == 3 else mw
+        wt = tw[..., None] if table.ndim == 3 else tw
+        c0 = c00 * (1 - wt) + c01 * wt
+        c1 = c10 * (1 - wt) + c11 * wt
+        return c0 * (1 - wm) + c1 * wm
+
+    return LQRDesign(
+        gain=bilerp(sched.gain),
+        gain_pitch=bilerp(sched.gain_pitch),
+        z_eq=bilerp(sched.z_eq),
+        trim_slope=bilerp(sched.trim_slope),
+        trim_slope_pitch=bilerp(sched.trim_slope_pitch),
+    )
+
+
+def lqr_action_scheduled(
+    body: RigidBodyState,
+    sched: LQRSchedule,
+    mass: jnp.ndarray,
+    thrust_scale: jnp.ndarray,
+    d_known: jnp.ndarray,
+    rp: RocketParams,
+) -> jnp.ndarray:
+    """Gain-scheduled teacher action: interpolate the per-episode design
+    from the true (mass, thrust) draw, stay blind to the cg offset
+    (``d_known`` zeros — position-integral action finds that trim)."""
+    return lqr_action(body, interp_design(sched, mass, thrust_scale), d_known, rp)
 
 
 def generate_demonstrations(

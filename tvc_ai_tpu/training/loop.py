@@ -410,7 +410,9 @@ def make_train_iteration(
                 if n_demo > 0:
                     # DQfD-style mixed batch: the demo buffer is static, so
                     # the teacher's success trajectories stay in the batch
-                    # distribution for the whole campaign
+                    # distribution for the whole campaign. demo_mask marks
+                    # the demo rows for the actor's Q-filtered BC term
+                    # (sac.SACConfig.bc_weight).
                     on = replay_mod.sample(
                         buffer, k_s, sac_cfg.batch_size - n_demo
                     )
@@ -418,6 +420,12 @@ def make_train_iteration(
                     batch = {
                         k: jnp.concatenate([on[k], demo[k]]) for k in on
                     }
+                    batch["demo_mask"] = jnp.concatenate(
+                        [
+                            jnp.zeros(sac_cfg.batch_size - n_demo, jnp.float32),
+                            jnp.ones(n_demo, jnp.float32),
+                        ]
+                    )
                 else:
                     batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
                 agent, metrics = sac_mod.update(
@@ -438,11 +446,14 @@ def make_train_iteration(
         def no_updates(args):
             agent, _ = args
             zero = jnp.float32(0.0)
-            return agent, {
+            out = {
                 "critic_loss": zero, "actor_loss": zero, "alpha_loss": zero,
                 "alpha": jnp.exp(agent.log_alpha), "q1_mean": zero,
                 "q2_mean": zero, "entropy": zero,
             }
+            if n_demo > 0 and sac_cfg.bc_weight > 0:
+                out["bc_loss"] = zero  # match do_updates' metric pytree
+            return agent, out
 
         if learn:
             agent, upd_metrics = jax.lax.cond(

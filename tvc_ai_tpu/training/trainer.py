@@ -272,6 +272,8 @@ class Trainer:
             "wind_max",
             "sensor_noise_std",
             "dr_prob",
+            "init_tilt_max",
+            "init_omega_max",
         ):
             v = getattr(ds, name)
             if v is not None:

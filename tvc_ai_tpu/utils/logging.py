@@ -125,6 +125,23 @@ class TrainingLogger:
         new_file = self._csv_fields is None
         if new_file:
             self._csv_fields = list(row)
+        elif any(k not in self._csv_fields for k in row):
+            # new metric keys after the first write (e.g. a one-off
+            # demo-seeding stats row wrote first and pinned a 4-column
+            # header, silently dropping every later training/eval column —
+            # the r4a campaign lost its whole CSV that way): widen the
+            # header and rewrite the file once
+            self._csv_fields += [k for k in row if k not in self._csv_fields]
+            old_rows = []
+            if self._csv_path.exists():
+                with open(self._csv_path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+            with open(self._csv_path, "w", newline="") as f:
+                writer = csv.DictWriter(
+                    f, fieldnames=self._csv_fields, extrasaction="ignore"
+                )
+                writer.writeheader()
+                writer.writerows(old_rows)
         with open(self._csv_path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._csv_fields, extrasaction="ignore")
             if new_file:
