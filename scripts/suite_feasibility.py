@@ -40,6 +40,10 @@ def main() -> int:
                         help="horizon (0 = the suite's own max_episode_steps)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--scheduled", action="store_true",
+                        help="use the gain-scheduled privileged LQR teacher "
+                             "(training/demos.py::design_lqr_schedule) instead "
+                             "of the fixed nominal-plant design")
     args = parser.parse_args()
 
     import jax
@@ -55,9 +59,14 @@ def main() -> int:
     from tvc_ai_tpu.training import demos
 
     design = None
+    sched = None
     for suite in args.suite:
         params = _suite_env_params(suite)
-        if design is None:
+        if args.scheduled:
+            # re-synthesize per suite: the stress suite's wider (mass,
+            # thrust) box needs its own grid extent
+            sched = demos.design_lqr_schedule(params)
+        elif design is None:
             design = demos.design_lqr(params)
         rp = params.rocket
         n = args.episodes
@@ -69,7 +78,13 @@ def main() -> int:
         @jax.jit
         def roll(states):
             def step_fn(st, _):
-                act = demos.lqr_action(st.body, design, d0, rp)
+                if args.scheduled:
+                    act = demos.lqr_action_scheduled(
+                        st.body, sched, st.dr.mass, st.dr.thrust_scale,
+                        d0, rp,
+                    )
+                else:
+                    act = demos.lqr_action(st.body, design, d0, rp)
                 nxt, out, _ = rocket_env.batched_step_autoreset(
                     st, act, params, use_pallas=False
                 )

@@ -208,13 +208,23 @@ def equilibrium_tilt(params: EnvParams, d: float) -> float:
 
 
 def _dlqr(a: np.ndarray, b: np.ndarray, q: np.ndarray, r: np.ndarray):
-    """Discrete-time LQR via Riccati fixed-point iteration."""
+    """Discrete-time LQR via Riccati fixed-point iteration.
+
+    Diverging iterations (unstabilizable plants — e.g. friction-pinned
+    cells of the DR grid, where the linearized contact has an
+    uncontrollable unstable mode) return a zero gain instead of
+    overflowing: callers that verify candidates empirically
+    (``_verify_schedule``) then score the cell 0 and fill it from the
+    nearest stabilizable cell.
+    """
     p = q.copy()
     for _ in range(3000):
         btp = b.T @ p
         k = np.linalg.solve(r + btp @ b, btp @ a)
         p_next = q + a.T @ p @ (a - b @ k)
         p_next = 0.5 * (p_next + p_next.T)
+        if not np.all(np.isfinite(p_next)) or np.max(np.abs(p_next)) > 1e12:
+            return np.zeros((b.shape[1], a.shape[0]), a.dtype)
         if np.max(np.abs(p_next - p)) < 1e-9 * (1.0 + np.max(np.abs(p))):
             p = p_next
             break
@@ -321,13 +331,26 @@ class LQRSchedule(NamedTuple):
     z_eq: jnp.ndarray               # (M, T)
     trim_slope: jnp.ndarray         # (M, T)
     trim_slope_pitch: jnp.ndarray   # (M, T)
+    # empirical verification artifacts (design_lqr_schedule(verify=True)):
+    # strict-window success of the SELECTED design on its own plant from
+    # tilt-perturbed starts, and the cells that pass. Cells that fail get
+    # their GAINS replaced by the nearest passing cell's (their z_eq /
+    # trim_slope stay the true plant's), so bilinear interpolation never
+    # blends a destabilizing design into a feasible query.
+    cell_success: jnp.ndarray | None = None   # (M, T)
+    feasible: jnp.ndarray | None = None       # (M, T) bool
 
 
 def design_lqr_schedule(
     params: EnvParams,
-    n_mass: int = 5,
-    n_tscale: int = 5,
+    n_mass: int = 7,
+    n_tscale: int = 7,
     ttw_margin: float = 0.95,
+    verify: bool = True,
+    verify_rollouts: int = 8,
+    verify_horizon: int = 600,
+    verify_tilt: float = 0.02,
+    fill_threshold: float = 0.3,
 ) -> LQRSchedule:
     """Synthesize the LQR at every (mass, thrust-scale) grid point of the
     env's DR box (mass uniform ±mass_variation, thrust normal clipped to
@@ -351,6 +374,24 @@ def design_lqr_schedule(
     the 6×6 Riccati iterations stay on host. ~50× faster than bisection
     per cell, validated against ``design_lqr`` at the nominal cell
     (tests/test_training_subsystems.py).
+
+    Empirical verification (``verify=True``, the default — measured r4):
+    a designed cell is NOT presumed stable. Ground balance acts by sliding
+    the base through the friction cone, so control authority exists only
+    while lateral thrust can exceed stiction: μ·(m·g_eff − T) <
+    T·sin(max_gimbal), i.e. a thrust-scale band ≈ (0.40·m, 0.53·m) for the
+    default plant — BELOW it the base is friction-pinned (measured: every
+    design scores 0 % at tscale 0.8), ABOVE it the vehicle climbs away.
+    Each cell's design (plus gentler/stiffer R variants and the
+    nominal-cell gains) is therefore rolled on its own true plant from
+    tilt-perturbed starts; the best variant wins the cell, and cells where
+    every variant fails (physically uncontrollable, or marginal like
+    m=2.6/tscale=1.0 where the raw design amplifies a 1e-8 asymmetry to
+    gimbal saturation within 100 steps) have their gains replaced by the
+    nearest passing cell's so interpolation never crosses a destabilizing
+    design. ``cell_success``/``feasible`` record the measurement — the
+    schedule is also the empirical feasibility oracle for the evaluation
+    suites.
     """
     rp = params.rocket
     rnd = params.randomization
@@ -373,6 +414,7 @@ def design_lqr_schedule(
     cpu = jax.devices("cpu")[0]
     shape = (n_mass, n_tscale)
     out = {}
+    ab_planes = {}
     with jax.default_device(cpu):
         for pitch in (False, True):
 
@@ -419,6 +461,7 @@ def design_lqr_schedule(
             )
             a_np = np.asarray(a_all, np.float64)
             b_np = np.asarray(b_all, np.float64).reshape(-1, 6, 1)
+            ab_planes[pitch] = (a_np, b_np)
             gains = np.stack(
                 [
                     _dlqr(a_np[i], b_np[i], np.diag(_Q_DIAG), np.array([[_R]]))[0]
@@ -436,11 +479,208 @@ def design_lqr_schedule(
                 out["z_eq"] = np.asarray(z0_all).reshape(shape).astype(
                     np.float32
                 )
-    return LQRSchedule(
+    sched = LQRSchedule(
         mass_grid=jnp.asarray(mass_grid, jnp.float32),
         tscale_grid=jnp.asarray(tscale_grid, jnp.float32),
         **{k: jnp.asarray(v) for k, v in out.items()},
     )
+    if not verify:
+        return sched
+    return _verify_schedule(
+        params,
+        sched,
+        ab_planes,
+        tscale_true=np.asarray(tt.ravel(), np.float32),
+        rollouts=verify_rollouts,
+        horizon=verify_horizon,
+        tilt0=verify_tilt,
+        fill_threshold=fill_threshold,
+    )
+
+
+# extra control-cost variants tried per cell during schedule verification:
+# R/4 slides the base harder through stiction (helps friction-marginal
+# cells), R*4 calms designs that chatter against the contact
+_VERIFY_R_SCALES = (1.0, 0.25, 4.0)
+
+
+def _verify_schedule(
+    params: EnvParams,
+    sched: LQRSchedule,
+    ab_planes: dict,
+    tscale_true: np.ndarray,
+    rollouts: int,
+    horizon: int,
+    tilt0: float,
+    fill_threshold: float,
+    key: jnp.ndarray | None = None,
+) -> LQRSchedule:
+    """Roll every cell's candidate gain sets on the cell's TRUE plant
+    (unclamped thrust, cg = wind = 0, tilt-perturbed starts), keep the best
+    variant per cell, and overwrite failing cells' gains with the nearest
+    passing cell's. Runs as one batched scan on the host CPU backend."""
+    n_mass = sched.mass_grid.shape[0]
+    n_tscale = sched.tscale_grid.shape[0]
+    cells = n_mass * n_tscale
+    mass_flat = np.repeat(np.asarray(sched.mass_grid, np.float32), n_tscale)
+
+    # candidate gains per (cell, variant, plane)
+    variants: list[np.ndarray] = []          # each (cells, 6) yaw
+    variants_pitch: list[np.ndarray] = []
+    base_gain = np.asarray(sched.gain, np.float32).reshape(cells, 6)
+    base_gain_p = np.asarray(sched.gain_pitch, np.float32).reshape(cells, 6)
+    for r_scale in _VERIFY_R_SCALES:
+        if r_scale == 1.0:
+            variants.append(base_gain)
+            variants_pitch.append(base_gain_p)
+            continue
+        r_mat = np.array([[_R * r_scale]])
+        g_yaw = np.stack([
+            _dlqr(ab_planes[False][0][i], ab_planes[False][1][i],
+                  np.diag(_Q_DIAG), r_mat)[0]
+            for i in range(cells)
+        ]).astype(np.float32)
+        g_pit = np.stack([
+            _dlqr(ab_planes[True][0][i], ab_planes[True][1][i],
+                  np.diag(_Q_DIAG), r_mat)[0]
+            for i in range(cells)
+        ]).astype(np.float32)
+        variants.append(np.nan_to_num(g_yaw))
+        variants_pitch.append(np.nan_to_num(g_pit))
+    # the nominal cell's base design as a cross-plant fallback (the single
+    # fixed LQR is stable on a band around nominal — measured _dbg_stab)
+    i_nom = (n_mass // 2) * n_tscale + (n_tscale // 2)
+    variants.append(np.broadcast_to(base_gain[i_nom], (cells, 6)).copy())
+    variants_pitch.append(
+        np.broadcast_to(base_gain_p[i_nom], (cells, 6)).copy()
+    )
+    n_var = len(variants)
+
+    # flatten (cell, variant, rollout) into one batched verification run
+    z_eq_flat = np.asarray(sched.z_eq, np.float32).reshape(cells)
+    rows = cells * n_var * rollouts
+    gain_rows = np.repeat(np.stack(variants, 1).reshape(-1, 6), rollouts, 0)
+    gain_p_rows = np.repeat(
+        np.stack(variants_pitch, 1).reshape(-1, 6), rollouts, 0
+    )
+    mass_rows = np.repeat(mass_flat, n_var * rollouts)
+    tsc_rows = np.repeat(tscale_true, n_var * rollouts)
+    zeq_rows = np.repeat(z_eq_flat, n_var * rollouts)
+    design_rows = LQRDesign(
+        gain=jnp.asarray(gain_rows),
+        gain_pitch=jnp.asarray(gain_p_rows),
+        z_eq=jnp.asarray(zeq_rows),
+        trim_slope=jnp.zeros(rows, jnp.float32),
+        trim_slope_pitch=jnp.zeros(rows, jnp.float32),
+    )
+
+    rnd_off = params.randomization.replace(
+        enabled=False,
+        sensor_noise_enabled=False,
+        sensor_noise_uniform=False,
+        progress_rate_randomized=False,
+    )
+    v_params = params.replace(randomization=rnd_off)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        succ = _verify_rollouts(
+            v_params,
+            jnp.asarray(mass_rows),
+            jnp.asarray(tsc_rows),
+            design_rows,
+            key,
+            horizon,
+            tilt0,
+        )
+    success = np.asarray(succ, np.float32).reshape(cells, n_var, rollouts)
+    success = success.mean(-1)                       # (cells, n_var)
+    best_var = success.argmax(1)
+    best_succ = success[np.arange(cells), best_var]
+    sel_gain = np.stack(variants, 1)[np.arange(cells), best_var]
+    sel_gain_p = np.stack(variants_pitch, 1)[np.arange(cells), best_var]
+
+    # fill failing cells' gains from the nearest passing cell
+    ok = best_succ >= fill_threshold
+    if ok.any() and not ok.all():
+        ii, jj = np.divmod(np.arange(cells), n_tscale)
+        ok_idx = np.flatnonzero(ok)
+        for c in np.flatnonzero(~ok):
+            dist = (ii[ok_idx] - ii[c]) ** 2 + (jj[ok_idx] - jj[c]) ** 2
+            src = ok_idx[dist.argmin()]
+            sel_gain[c] = sel_gain[src]
+            sel_gain_p[c] = sel_gain_p[src]
+
+    shape = (n_mass, n_tscale)
+    return sched._replace(
+        gain=jnp.asarray(sel_gain.reshape(shape + (6,))),
+        gain_pitch=jnp.asarray(sel_gain_p.reshape(shape + (6,))),
+        cell_success=jnp.asarray(best_succ.reshape(shape)),
+        feasible=jnp.asarray(ok.reshape(shape)),
+    )
+
+
+def _verify_rollouts(
+    params: EnvParams,
+    mass_r: jnp.ndarray,
+    tsc_r: jnp.ndarray,
+    design_r: LQRDesign,
+    key: jnp.ndarray,
+    horizon: int,
+    tilt0: float,
+) -> jnp.ndarray:
+    """First-episode strict success of per-row controllers on per-row
+    (mass, thrust-scale) plants, from starts perturbed by ``tilt0`` about a
+    random horizontal axis (the symmetric suite reset balances ANY gain set
+    on the knife edge — zero state → zero action — which masked the raw
+    schedule's instability for a whole session)."""
+    n = mass_r.shape[0]
+    rp = params.rocket
+    keys = jax.random.split(key, n)
+    states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    states = states.replace(
+        dr=states.dr.replace(
+            mass=mass_r, thrust_scale=tsc_r, cg_offset=zeros3, wind=zeros3
+        )
+    )
+    ang = jax.vmap(lambda k: jax.random.uniform(k, (), minval=0.0, maxval=2.0 * jnp.pi))(keys)
+    axis = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros_like(ang)], -1)
+    half = jnp.float32(tilt0 / 2.0)
+    dq = jnp.concatenate(
+        [axis * jnp.sin(half), jnp.full((n, 1), jnp.cos(half))], -1
+    )
+    states = states.replace(
+        body=states.body.replace(
+            quat=jax.vmap(quat.multiply)(dq, states.body.quat)
+        )
+    )
+    d0 = jnp.zeros((n, 3), jnp.float32)
+
+    @jax.jit
+    def roll(states):
+        def step_fn(carry, _):
+            st, done, succ = carry
+            act = lqr_action(st.body, design_r, d0, rp)
+            nxt, out, _ = rocket_env.batched_step_autoreset(
+                st, act, params, use_pallas=False
+            )
+            ep_done = out.terminated | out.truncated
+            succ = jnp.where(~done & ep_done, out.mission_success, succ)
+            done = done | ep_done
+            return (nxt, done, succ), None
+
+        init = (states, jnp.zeros(n, bool), jnp.zeros(n, bool))
+        (st, done, succ), _ = jax.lax.scan(
+            step_fn, init, None, length=horizon
+        )
+        # an episode still running at the horizon counts as its current
+        # window state (matches scripts/suite_feasibility.py accounting)
+        return jnp.where(done, succ, st.mission_success)
+
+    return roll(states)
 
 
 def interp_design(
