@@ -44,6 +44,16 @@ def main() -> int:
     p.add_argument("--beta0", type=float, default=1.0)
     p.add_argument("--beta_decay", type=float, default=0.6,
                    help="beta_i = beta0 * decay^i (prob. teacher drives)")
+    p.add_argument("--teacher", choices=["scheduled", "cem"],
+                   default="cem",
+                   help="'scheduled': gain-scheduled LQR (persistent envs, "
+                        "autoreset); 'cem': per-draw CEM-refined controller "
+                        "(fresh draws + episodic rollouts each iteration — "
+                        "the only teacher measured competent on the full "
+                        "suite distribution, training/cem.py)")
+    p.add_argument("--cem_pop", type=int, default=32)
+    p.add_argument("--cem_gens", type=int, default=15)
+    p.add_argument("--cem_horizon", type=int, default=500)
     p.add_argument("--eval_episodes", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -70,6 +80,7 @@ def main() -> int:
     from tvc_ai_tpu.env.types import obs_dim as obs_dim_of
     from tvc_ai_tpu.eval import rollout as rollout_mod
     from tvc_ai_tpu.eval.evaluate import _suite_env_params
+    from tvc_ai_tpu.training import cem as cem_mod
     from tvc_ai_tpu.training import dagger, demos
 
     out = Path(args.out)
@@ -130,16 +141,28 @@ def main() -> int:
     key, k_init, k_env = jax.random.split(key, 3)
     view_dim = obs_dim * args.history
     template = sac_mod.init(k_init, view_dim, act_dim, sac_cfg)
-    opt_holder = {}
     import optax
 
     opt = optax.adam(dcfg.lr)
-    state = dagger.init_state(
-        k_env, train_params, template.actor_params, opt, dcfg, obs_dim, act_dim
-    )
-    iteration = dagger.make_dagger_iteration(
-        train_params, teacher_fn, sac_cfg, dcfg, obs_dim, act_dim
-    )
+    if args.teacher == "cem":
+        cem_cfg = cem_mod.CEMConfig(
+            pop=args.cem_pop, generations=args.cem_gens,
+            horizon=args.cem_horizon,
+        )
+        state = dagger.init_cem_state(
+            template.actor_params, opt, dcfg, obs_dim, act_dim
+        )
+        iteration = dagger.make_cem_dagger_iteration(
+            train_params, sched, sac_cfg, dcfg, obs_dim, act_dim, cem_cfg
+        )
+    else:
+        state = dagger.init_state(
+            k_env, train_params, template.actor_params, opt, dcfg,
+            obs_dim, act_dim,
+        )
+        iteration = dagger.make_dagger_iteration(
+            train_params, teacher_fn, sac_cfg, dcfg, obs_dim, act_dim
+        )
 
     # ---- evaluation: deterministic student on the OFFICIAL suite params
     actor, _ = sac_mod.make_networks(view_dim, act_dim, sac_cfg)
@@ -176,10 +199,15 @@ def main() -> int:
         scores = evaluate(state.actor_params, k_ev)
         dt = time.time() - t0
         roll_sr = metrics["rollout_success"] / max(metrics["rollout_episodes"], 1)
+        teach = (
+            f"teacher_solved={metrics['teacher_solved']:.2%} "
+            if "teacher_solved" in metrics
+            else ""
+        )
         line = (
             f"iter {i:3d} beta={beta:.3f} "
             f"bc {metrics['bc_loss_first']:.5f}->{metrics['bc_loss_last']:.5f} "
-            f"rollout_sr={roll_sr:.2%} "
+            f"{teach}rollout_sr={roll_sr:.2%} "
             f"robust={scores['robustness']:.2%} stress={scores['stress']:.2%} "
             f"({dt:.0f}s)"
         )

@@ -26,6 +26,7 @@ Usage:
 import argparse
 import math
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -44,6 +45,21 @@ def main() -> int:
                         help="use the gain-scheduled privileged LQR teacher "
                              "(training/demos.py::design_lqr_schedule) instead "
                              "of the fixed nominal-plant design")
+    parser.add_argument("--cem", action="store_true",
+                        help="per-draw CEM refinement on top of the schedule "
+                             "(training/cem.py): 'does ANY linear ground-"
+                             "balance controller win this exact episode?' — "
+                             "the measured attainable ceiling per suite")
+    parser.add_argument("--cem_pop", type=int, default=64)
+    parser.add_argument("--cem_gens", type=int, default=25)
+    parser.add_argument("--cem_horizon", type=int, default=700)
+    # single-axis ablation knobs: override the suite's DR box to isolate
+    # which axis defeats the controller (e.g. --wind_max 0 --cg_max 0
+    # leaves only the (mass, thrust) draws active)
+    parser.add_argument("--cg_max", type=float, default=None)
+    parser.add_argument("--wind_max", type=float, default=None)
+    parser.add_argument("--mass_var", type=float, default=None)
+    parser.add_argument("--thrust_var", type=float, default=None)
     args = parser.parse_args()
 
     import jax
@@ -62,7 +78,21 @@ def main() -> int:
     sched = None
     for suite in args.suite:
         params = _suite_env_params(suite)
-        if args.scheduled:
+        overrides = {
+            "cg_offset_max": args.cg_max,
+            "wind_max": args.wind_max,
+            "mass_variation": args.mass_var,
+            "thrust_variation": args.thrust_var,
+        }
+        overrides = {k: jnp.float32(v) for k, v in overrides.items()
+                     if v is not None}
+        if overrides:
+            params = params.replace(
+                randomization=params.randomization.replace(**overrides)
+            )
+            print(f"  [ablation overrides: "
+                  f"{ {k: float(v) for k, v in overrides.items()} }]")
+        if args.scheduled or args.cem:
             # re-synthesize per suite: the stress suite's wider (mass,
             # thrust) box needs its own grid extent
             sched = demos.design_lqr_schedule(params)
@@ -74,6 +104,28 @@ def main() -> int:
         keys = jax.random.split(jax.random.PRNGKey(args.seed), n)
         states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
         d0 = jnp.zeros((n, 3), jnp.float32)
+
+        if args.cem:
+            from tvc_ai_tpu.training import cem as cem_mod
+
+            ccfg = cem_mod.CEMConfig(
+                pop=args.cem_pop, generations=args.cem_gens,
+                horizon=args.cem_horizon,
+            )
+            theta0 = cem_mod.theta_for_states(sched, states)
+            t0 = time.time()
+            _, score = jax.jit(
+                lambda k, s, t: cem_mod.refine_per_draw(k, params, s, t, ccfg)
+            )(jax.random.PRNGKey(args.seed + 1), states, theta0)
+            score = np.asarray(score)
+            # a strict-window success scores >= success_bonus (1000); the
+            # best non-success streak tops out at 99 + shaping
+            ok = score >= 0.5 * ccfg.success_bonus
+            print(f"== {suite} suite ({n} episodes, CEM oracle) ==")
+            print(f"  [CEM refine: pop {ccfg.pop} x gens {ccfg.generations} "
+                  f"x horizon {ccfg.horizon}, {time.time() - t0:.0f}s]")
+            _report(suite, args, params, rp, states, ok, np)
+            continue
 
         @jax.jit
         def roll(states):
@@ -102,35 +154,55 @@ def main() -> int:
         ended = dn.any(0)
         # first-episode outcome per env slot = one suite episode each
         ok = np.where(ended, sc[first_done, np.arange(n)], sc[-1])
-
-        mass = np.asarray(states.dr.mass)
-        cg = np.asarray(states.dr.cg_offset)
-        cg_mag = np.linalg.norm(cg[:, :2], axis=1)
-        thrust_w = float(rp.thrust)  # nominal; per-episode scale below
-        tscale = np.asarray(states.dr.thrust_scale)
-        g_eff = 2.0 * float(rp.gravity)
-        climb_away = tscale * thrust_w > mass * g_eff
-        theta_eq = np.arctan(
-            2.0 * tscale * thrust_w * cg_mag / (mass * g_eff)
-        )
-        tilt_infeasible = theta_eq > 0.087  # strict window tilt bound
-        infeasible = climb_away | tilt_infeasible
-        feas = ~infeasible
-
         print(f"== {suite} suite ({n} episodes, horizon {horizon}) ==")
-        print(f"  physics-infeasible: {infeasible.mean():.1%} "
-              f"(climb-away {climb_away.mean():.1%}, "
-              f"equilibrium tilt > 5deg {tilt_infeasible.mean():.1%})")
-        print(f"  LQR strict success: {ok.mean():.1%} overall; "
-              f"{ok[feas].mean() if feas.any() else 0:.1%} on feasible draws; "
-              f"{ok[infeasible].mean() if infeasible.any() else 0:.1%} on "
-              f"infeasible draws (sanity, expect ~0)")
-        for lo, hi in [(0, 0.02), (0.02, 0.035), (0.035, 0.05), (0.05, 0.2)]:
-            m = (cg_mag >= lo) & (cg_mag < hi) & ~climb_away
-            if m.sum():
-                print(f"    |cg| in [{lo:.3f},{hi:.3f}) n={m.sum():4d} "
-                      f"success={ok[m].mean():.1%}")
+        _report(suite, args, params, rp, states, ok, np)
     return 0
+
+
+def _report(suite, args, params, rp, states, ok, np):
+    """Per-axis breakdown of strict success vs the analytic feasibility
+    labels. Three analytically-infeasible classes (r4, measured against
+    the CEM oracle):
+    - climb-away: thrust > double-gravity weight — vertical force is
+      positive at any in-window tilt, altitude exits the 2 m bound
+      (marginal draws with <~4% excess can still win: 100 steps = 2 s);
+    - friction-pinned: stiction exceeds max lateral thrust
+      (mu*(m*g_eff - T) > T*sin(gimbal_max)) — the base cannot slide, and
+      thrust applies AT the contact so gimbal torque about the pivot ~ 0;
+    - equilibrium tilt: tan(theta*) = 2*T*d/(m*g_eff) beyond the 5 deg
+      window at the draw's cg offset.
+    """
+    ok = np.asarray(ok)
+    mass = np.asarray(states.dr.mass)
+    cg = np.asarray(states.dr.cg_offset)
+    cg_mag = np.linalg.norm(cg[:, :2], axis=1)
+    thrust_w = float(rp.thrust)  # nominal; per-episode scale below
+    tscale = np.asarray(states.dr.thrust_scale)
+    g_eff = 2.0 * float(rp.gravity)
+    mu = float(rp.contact_friction)
+    sin_g = math.sin(float(rp.max_gimbal))
+    thrust = tscale * thrust_w
+    climb_away = thrust > mass * g_eff
+    pinned = mu * (mass * g_eff - thrust) > thrust * sin_g
+    theta_eq = np.arctan(2.0 * thrust * cg_mag / (mass * g_eff))
+    tilt_infeasible = theta_eq > 0.087  # strict window tilt bound
+    infeasible = climb_away | pinned | tilt_infeasible
+    feas = ~infeasible
+
+    print(f"  physics-infeasible: {infeasible.mean():.1%} "
+          f"(climb-away {climb_away.mean():.1%}, "
+          f"friction-pinned {pinned.mean():.1%}, "
+          f"equilibrium tilt > 5deg {tilt_infeasible.mean():.1%})")
+    print(f"  strict success: {ok.mean():.1%} overall; "
+          f"{ok[feas].mean() if feas.any() else 0:.1%} on feasible draws; "
+          f"{ok[infeasible].mean() if infeasible.any() else 0:.1%} on "
+          f"infeasible draws (analytic labels are approximate at the "
+          f"band edges)")
+    for lo, hi in [(0, 0.02), (0.02, 0.035), (0.035, 0.05), (0.05, 0.2)]:
+        m = (cg_mag >= lo) & (cg_mag < hi) & ~climb_away & ~pinned
+        if m.sum():
+            print(f"    |cg| in [{lo:.3f},{hi:.3f}) n={m.sum():4d} "
+                  f"success={ok[m].mean():.1%}")
 
 
 if __name__ == "__main__":

@@ -472,3 +472,123 @@ def test_dagger_iteration_reduces_bc_loss():
     state, m2 = it(state, jax.random.PRNGKey(9), jnp.float32(0.5))
     assert int(state.size) == dcfg.capacity
     assert int(state.ptr) == 0
+
+
+@pytest.mark.slow
+def test_interp_design_degenerate_axis():
+    """mass_variation=0 collapses the schedule's mass grid to one point;
+    interpolation must pin to it instead of dividing by the zero extent
+    (r4: NaN gains silently zeroed a whole ablation)."""
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.training import demos
+
+    cfg = FrameworkConfig()
+    cfg.env.domain_randomization.enabled = True
+    cfg.env.domain_randomization.mass_variation = 0.0
+    cfg.env.domain_randomization.thrust_variation = 0.0
+    params = build_env_params(cfg)
+    sched = demos.design_lqr_schedule(
+        params, n_mass=3, n_tscale=3, verify=False
+    )
+    at = demos.interp_design(
+        sched, jnp.float32(params.rocket.mass), jnp.float32(1.0)
+    )
+    assert np.all(np.isfinite(np.asarray(at.gain)))
+    assert np.all(np.isfinite(np.asarray(at.gain_pitch)))
+    single = demos.design_lqr(params)
+    rel = np.max(
+        np.abs(np.asarray(at.gain) - np.asarray(single.gain))
+        / (np.abs(np.asarray(single.gain)) + 1e-3)
+    )
+    assert rel < 1e-3
+
+
+def test_dlqr_divergence_returns_zero_gain():
+    """Unstabilizable plants must yield a zero gain, not overflow — the
+    empirical schedule verification then scores the cell 0 and fills it
+    from the nearest stabilizable cell."""
+    from tvc_ai_tpu.training.demos import _dlqr
+
+    k = _dlqr(
+        np.diag([2.0, 1.5]),
+        np.zeros((2, 1)),
+        np.eye(2),
+        np.eye(1),
+    )
+    assert np.all(k == 0.0)
+
+
+@pytest.mark.slow
+def test_cem_refines_controller_score():
+    """training/cem.py: theta packing round-trips the design, the rollout
+    score is finite, and a few CEM generations do not regress the best
+    score (elitist best-ever tracking)."""
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.training import cem, demos
+
+    cfg = FrameworkConfig()
+    cfg.env.domain_randomization.enabled = True
+    params = build_env_params(cfg)
+    sched = demos.design_lqr_schedule(
+        params, n_mass=3, n_tscale=3, verify=False
+    )
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    theta0 = cem.theta_for_states(sched, states)
+    assert theta0.shape == (n, cem.THETA_DIM)
+    ccfg = cem.CEMConfig(pop=6, elites=2, generations=2, horizon=60)
+    base = cem.rollout_score(theta0, states, params, ccfg)
+    assert np.all(np.isfinite(np.asarray(base)))
+    theta, score = jax.jit(
+        lambda k, s, t: cem.refine_per_draw(k, params, s, t, ccfg)
+    )(jax.random.PRNGKey(1), states, theta0)
+    assert theta.shape == theta0.shape
+    assert np.all(np.asarray(score) >= np.asarray(base) - 1e-4)
+
+
+@pytest.mark.slow
+def test_cem_dagger_iteration_masks_unsolved_draws():
+    """CEM-teacher DAgger: the fused iteration compiles, rows from draws
+    the teacher failed carry weight 0, and the weighted BC loss is finite
+    (zero when nothing is labeled)."""
+    import optax
+
+    from tvc_ai_tpu.agents import sac as sac_mod
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.env.types import obs_dim as obs_dim_of
+    from tvc_ai_tpu.training import cem, dagger, demos
+
+    cfg = FrameworkConfig()
+    cfg.env.drift_observation.enabled = True
+    cfg.env.action_observation.enabled = True
+    cfg.env.domain_randomization.enabled = True
+    params = build_env_params(cfg)
+    obs_dim = obs_dim_of(params)
+    sched = demos.design_lqr_schedule(
+        params, n_mass=3, n_tscale=3, verify=False
+    )
+    sac_cfg = sac_mod.SACConfig(hidden_dims=(32, 32))
+    dcfg = dagger.DaggerConfig(
+        num_envs=8,
+        rollout_steps=16,
+        capacity=8 * 16 * 2,
+        batch_size=32,
+        train_steps=10,
+        history_len=2,
+    )
+    # horizon 60 < the 100-step success window: no draw can be "solved",
+    # so every recorded row must carry weight 0 — the mask gate
+    ccfg = cem.CEMConfig(pop=4, elites=2, generations=1, horizon=60)
+    template = sac_mod.init(jax.random.PRNGKey(0), obs_dim * 2, 2, sac_cfg)
+    opt = optax.adam(dcfg.lr)
+    state = dagger.init_cem_state(template.actor_params, opt, dcfg, obs_dim, 2)
+    it = dagger.make_cem_dagger_iteration(
+        params, sched, sac_cfg, dcfg, obs_dim, 2, ccfg
+    )
+    state, m = it(state, jax.random.PRNGKey(1), jnp.float32(1.0))
+    assert int(state.size) == 8 * 16
+    assert float(m["teacher_solved"]) == 0.0
+    assert float(m["labeled_rows"]) == 0.0
+    assert float(m["bc_loss_first"]) == 0.0

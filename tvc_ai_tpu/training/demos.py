@@ -692,7 +692,16 @@ def interp_design(
 
     def axis_coords(grid, x):
         x = jnp.clip(x, grid[0], grid[-1])
-        f = (x - grid[0]) / (grid[-1] - grid[0]) * (grid.shape[0] - 1)
+        # degenerate axis (zero-width DR box, e.g. mass_variation=0):
+        # every grid point is identical — pin to cell 0 with weight 0
+        # instead of dividing by the zero extent
+        extent = grid[-1] - grid[0]
+        f = jnp.where(
+            extent > 0,
+            (x - grid[0]) / jnp.where(extent > 0, extent, 1.0)
+            * (grid.shape[0] - 1),
+            0.0,
+        )
         i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, grid.shape[0] - 2)
         return i0, f - i0
 
