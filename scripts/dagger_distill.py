@@ -44,6 +44,10 @@ def main() -> int:
     p.add_argument("--beta0", type=float, default=1.0)
     p.add_argument("--beta_decay", type=float, default=0.6,
                    help="beta_i = beta0 * decay^i (prob. teacher drives)")
+    p.add_argument("--beta_floor", type=float, default=0.0,
+                   help="keep at least this much teacher-driving forever "
+                        "(the labeled set then always includes on-teacher-"
+                        "distribution states)")
     p.add_argument("--teacher", choices=["scheduled", "cem"],
                    default="cem",
                    help="'scheduled': gain-scheduled LQR (persistent envs, "
@@ -191,7 +195,7 @@ def main() -> int:
     best = {"robustness": -1.0}
     history = []
     for i in range(args.iters):
-        beta = args.beta0 * (args.beta_decay ** i)
+        beta = max(args.beta_floor, args.beta0 * (args.beta_decay ** i))
         key, k_it, k_ev = jax.random.split(key, 3)
         t0 = time.time()
         state, metrics = iteration(state, k_it, jnp.float32(beta))

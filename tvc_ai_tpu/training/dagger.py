@@ -303,7 +303,7 @@ def make_cem_dagger_iteration(
     rp = env_params.rocket
 
     def collect(state: CemDaggerState, key, beta):
-        k_reset, k_cem, k_roll = jax.random.split(key, 3)
+        k_reset, k_cem, k_recycle, k_roll = jax.random.split(key, 4)
         env_keys = jax.random.split(k_reset, cfg.num_envs)
         states0, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(
             env_keys, env_params
@@ -312,8 +312,37 @@ def make_cem_dagger_iteration(
         theta, score = cem_mod.refine_per_draw(
             k_cem, env_params, states0, theta0, cem_cfg
         )
-        teacher_ok = (score >= 0.5 * cem_cfg.success_bonus).astype(
-            jnp.float32
+        solved = score >= 0.5 * cem_cfg.success_bonus
+        solved_frac = jnp.mean(solved.astype(jnp.float32))
+        # draw recycling: rows from draws the teacher failed are pure
+        # waste (weight 0), and only ~5-13% of suite draws are solvable —
+        # so envs with an unsolved draw borrow a solved draw's plant AND
+        # its controller, making ~every recorded row a labeled one. The
+        # student trains exclusively on the solvable sub-distribution;
+        # nothing is learnable on the rest anyway.
+        any_solved = jnp.any(solved)
+        p = solved.astype(jnp.float32)
+        p = jnp.where(
+            any_solved,
+            p / jnp.maximum(jnp.sum(p), 1.0),
+            jnp.full_like(p, 1.0 / cfg.num_envs),
+        )
+        src = jax.random.choice(
+            k_recycle, cfg.num_envs, (cfg.num_envs,), p=p
+        )
+
+        def borrow(arr):
+            keep = solved.reshape(
+                solved.shape + (1,) * (arr.ndim - solved.ndim)
+            )
+            return jnp.where(keep, arr, arr[src])
+
+        states0 = states0.replace(dr=jax.tree.map(borrow, states0.dr))
+        theta = borrow(theta)
+        teacher_ok = jnp.where(
+            any_solved,
+            jnp.ones(cfg.num_envs, jnp.float32),
+            jnp.zeros(cfg.num_envs, jnp.float32),
         )
 
         window0 = (
@@ -388,7 +417,7 @@ def make_cem_dagger_iteration(
             state.data_w, weights, (state.ptr,)
         )
         stats = {
-            "teacher_solved": jnp.mean(teacher_ok),
+            "teacher_solved": solved_frac,
             "rollout_episodes": jnp.sum(done.astype(jnp.int32)),
             "rollout_success": jnp.sum(succ),
             "labeled_rows": jnp.sum(weights),
