@@ -39,6 +39,9 @@ def main() -> int:
     p.add_argument("--train_steps", type=int, default=1500)
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lr_cosine", action="store_true",
+                   help="cosine-decay the BC learning rate over the whole "
+                        "run (to lr/10) instead of constant Adam")
     p.add_argument("--history", type=int, default=8)
     p.add_argument("--hidden", type=int, nargs="*", default=[256, 256])
     p.add_argument("--beta0", type=float, default=1.0)
@@ -58,12 +61,24 @@ def main() -> int:
     p.add_argument("--cem_pop", type=int, default=32)
     p.add_argument("--cem_gens", type=int, default=15)
     p.add_argument("--cem_horizon", type=int, default=500)
+    p.add_argument("--cem_anchor", type=float, default=0.0,
+                   help="canonicalize per-draw CEM winners toward the "
+                        "schedule init (score - w*|theta-theta0|^2) so "
+                        "similar plants get similar labels across "
+                        "iterations")
     p.add_argument("--eval_episodes", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     # student training distribution: slightly wider than the robustness
     # suite (mass +-30%, thrust +-20%, cg 0.05, wind 3) so the suite is
     # in-distribution; raise toward the stress suite with these knobs
+    p.add_argument("--trim_obs", action="store_true",
+                   help="add the 4 trim-observation channels (slow EMAs of "
+                        "the presented tilt reading + commanded action) — "
+                        "the long-horizon sufficient statistic for cg-trim "
+                        "identification that a short stacked window cannot "
+                        "integrate")
+    p.add_argument("--trim_mode", choices=["ema", "integral"], default="ema")
     p.add_argument("--mass_variation", type=float, default=0.35)
     p.add_argument("--thrust_variation", type=float, default=0.25)
     p.add_argument("--cg_offset_max", type=float, default=0.06)
@@ -94,6 +109,11 @@ def main() -> int:
         drift_obs_enabled=True,
         action_obs_enabled=True,
     )
+    if args.trim_obs:
+        obs_overrides.update(
+            trim_obs_enabled=True,
+            trim_obs_integral=args.trim_mode == "integral",
+        )
     # student training env: robustness-suite construction, widened DR
     train_params = _suite_env_params("robustness", obs_overrides=obs_overrides)
     train_params = train_params.replace(
@@ -108,6 +128,17 @@ def main() -> int:
         "robustness": _suite_env_params("robustness", obs_overrides=obs_overrides),
         "stress": _suite_env_params("stress", obs_overrides=obs_overrides),
     }
+    if args.cg_offset_max == 0.0:
+        # cg-free training run (VERDICT ask #5 attribution): eval on the
+        # matching cg=0 suite variant as the primary metric, keeping the
+        # official suites for reference
+        rob = eval_params["robustness"]
+        eval_params = {
+            "robust_cg0": rob.replace(
+                randomization=rob.randomization.replace(
+                    cg_offset_max=jnp.float32(0.0))),
+            **eval_params,
+        }
 
     obs_dim = obs_dim_of(train_params)
     act_dim = 2
@@ -147,17 +178,22 @@ def main() -> int:
     template = sac_mod.init(k_init, view_dim, act_dim, sac_cfg)
     import optax
 
-    opt = optax.adam(dcfg.lr)
+    if args.lr_cosine:
+        opt = optax.adam(optax.cosine_decay_schedule(
+            dcfg.lr, args.iters * dcfg.train_steps, alpha=0.1))
+    else:
+        opt = optax.adam(dcfg.lr)
     if args.teacher == "cem":
         cem_cfg = cem_mod.CEMConfig(
             pop=args.cem_pop, generations=args.cem_gens,
-            horizon=args.cem_horizon,
+            horizon=args.cem_horizon, anchor_weight=args.cem_anchor,
         )
         state = dagger.init_cem_state(
             template.actor_params, opt, dcfg, obs_dim, act_dim
         )
         iteration = dagger.make_cem_dagger_iteration(
-            train_params, sched, sac_cfg, dcfg, obs_dim, act_dim, cem_cfg
+            train_params, sched, sac_cfg, dcfg, obs_dim, act_dim, cem_cfg,
+            opt=opt,
         )
     else:
         state = dagger.init_state(
@@ -165,7 +201,8 @@ def main() -> int:
             obs_dim, act_dim,
         )
         iteration = dagger.make_dagger_iteration(
-            train_params, teacher_fn, sac_cfg, dcfg, obs_dim, act_dim
+            train_params, teacher_fn, sac_cfg, dcfg, obs_dim, act_dim,
+            opt=opt,
         )
 
     # ---- evaluation: deterministic student on the OFFICIAL suite params
@@ -192,7 +229,8 @@ def main() -> int:
             res[name] = float(jnp.mean(stats.success))
         return res
 
-    best = {"robustness": -1.0}
+    primary = next(iter(eval_params))  # robust_cg0 when training cg-free
+    best = {primary: -1.0}
     history = []
     for i in range(args.iters):
         beta = max(args.beta_floor, args.beta0 * (args.beta_decay ** i))
@@ -208,16 +246,16 @@ def main() -> int:
             if "teacher_solved" in metrics
             else ""
         )
+        suite_str = " ".join(f"{n}={scores[n]:.2%}" for n in scores)
         line = (
             f"iter {i:3d} beta={beta:.3f} "
             f"bc {metrics['bc_loss_first']:.5f}->{metrics['bc_loss_last']:.5f} "
             f"{teach}rollout_sr={roll_sr:.2%} "
-            f"robust={scores['robustness']:.2%} stress={scores['stress']:.2%} "
-            f"({dt:.0f}s)"
+            f"{suite_str} ({dt:.0f}s)"
         )
         print(line, flush=True)
         history.append({"iter": i, "beta": beta, **metrics, **scores})
-        if scores["robustness"] > best["robustness"]:
+        if scores[primary] > best[primary]:
             best = {"iter": i, **scores}
             artifact = template.replace(actor_params=state.actor_params)
             payload = serialization.msgpack_serialize(

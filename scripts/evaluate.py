@@ -51,10 +51,17 @@ def main() -> int:
                         help="enable the 4 drift-observation channels "
                              "(scaled [vx,vy,x,y]) for policies trained "
                              "with env.drift_observation.enabled")
+    parser.add_argument("--action_obs", action="store_true",
+                        help="enable the 2 previous-action observation "
+                             "channels for policies trained with "
+                             "env.action_observation.enabled")
     parser.add_argument("--cg_offset_max", type=float, default=None,
                         help="override the suites' CG-offset range "
                              "(ablation: 0 isolates how much of the suite "
                              "score the CG axis alone costs)")
+    parser.add_argument("--no_sensor_noise", action="store_true",
+                        help="disable the suites' sensor noise (ablation: "
+                             "isolates the observation-noise cost)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -94,8 +101,11 @@ def main() -> int:
             )
         if args.drift_obs:
             obs_overrides["drift_obs_enabled"] = True
+        if args.action_obs:
+            obs_overrides["action_obs_enabled"] = True
         frame_dim = (args.obs_dim + (4 if args.trim_obs else 0)
-                     + (4 if args.drift_obs else 0))
+                     + (4 if args.drift_obs else 0)
+                     + (2 if args.action_obs else 0))
     agent_state = load_agent_state(
         args.model_path, frame_dim * args.history, args.action_dim, sac_cfg
     )
@@ -103,16 +113,19 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
 
     obs_dim = args.obs_dim if args.obs_dim != 10 else None
+    sensor_noise = False if args.no_sensor_noise else None
     if args.suite == "all":
         results = run_all_suites(
             agent_state, sac_cfg, out, args.episodes_scale, args.seed, obs_dim,
             args.rocket_mass, args.history, obs_overrides, args.cg_offset_max,
+            sensor_noise,
         )
     else:
         episodes = max(int(SUITE_EPISODES[args.suite] * args.episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, args.suite, episodes, args.seed, obs_dim,
             args.rocket_mass, args.history, obs_overrides, args.cg_offset_max,
+            sensor_noise,
         )
         write_episode_csv(result, out / f"{args.suite}_episodes.csv")
         results = {args.suite: result}

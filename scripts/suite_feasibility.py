@@ -53,6 +53,12 @@ def main() -> int:
     parser.add_argument("--cem_pop", type=int, default=64)
     parser.add_argument("--cem_gens", type=int, default=25)
     parser.add_argument("--cem_horizon", type=int, default=700)
+    parser.add_argument("--student_view", action="store_true",
+                        help="restrict the CEM search to gains on state the "
+                             "blind student's observation actually carries "
+                             "(zero the dz/vz feedback columns): measures "
+                             "how much of the ceiling is unreachable for "
+                             "any policy over the current obs layout")
     # single-axis ablation knobs: override the suite's DR box to isolate
     # which axis defeats the controller (e.g. --wind_max 0 --cg_max 0
     # leaves only the (mass, thrust) draws active)
@@ -113,9 +119,18 @@ def main() -> int:
                 horizon=args.cem_horizon,
             )
             theta0 = cem_mod.theta_for_states(sched, states)
+            mask = None
+            if args.student_view:
+                # theta layout (cem.py): per-plane gains over
+                # [x, dz, tilt, vx, vz, omega]; dz/vz sit at 1, 4 (yaw)
+                # and 7, 10 (pitch). z_eq (14) only feeds dz — zero it too.
+                mask = jnp.ones((cem_mod.THETA_DIM,), jnp.float32)
+                mask = mask.at[jnp.array([1, 4, 7, 10, 14])].set(0.0)
             t0 = time.time()
             _, score = jax.jit(
-                lambda k, s, t: cem_mod.refine_per_draw(k, params, s, t, ccfg)
+                lambda k, s, t: cem_mod.refine_per_draw(
+                    k, params, s, t, ccfg, theta_mask=mask
+                )
             )(jax.random.PRNGKey(args.seed + 1), states, theta0)
             score = np.asarray(score)
             # a strict-window success scores >= success_bonus (1000); the

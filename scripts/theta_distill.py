@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Distill the per-draw CEM teacher into a blind θ-student.
+
+The r4 robust-flight pipeline, stage 2 (training/theta_student.py for the
+measured rationale): instead of regressing the teacher's per-step actions
+(multimodal, trajectory-dependent — plateaus at ~2 % strict), the student
+regresses the teacher's per-episode CONTROLLER (10 linear-feedback
+components, constant per draw) from the stacked (obs, action) history and
+applies the known linear form analytically. Implicit system ID with exact
+structural generalization.
+
+  python scripts/theta_distill.py --out outputs/theta_r4
+
+Reference contract: the robustness/stress suites
+(ref scripts/evaluate.py:338-391) and the 70-90 % disturbance claim
+(ref GUIDE/STATE_OF_THE_ART_INTEGRATION.md:136-141).
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="outputs/theta_r4")
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--envs", type=int, default=512)
+    p.add_argument("--rollout_steps", type=int, default=512)
+    p.add_argument("--train_steps", type=int, default=1500)
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lr_cosine", action="store_true")
+    p.add_argument("--history", type=int, default=8)
+    p.add_argument("--hidden", type=int, nargs="*", default=[256, 256])
+    p.add_argument("--beta0", type=float, default=1.0)
+    p.add_argument("--beta_decay", type=float, default=0.85)
+    p.add_argument("--beta_floor", type=float, default=0.1)
+    p.add_argument("--cem_pop", type=int, default=64)
+    p.add_argument("--cem_gens", type=int, default=25)
+    p.add_argument("--cem_horizon", type=int, default=700)
+    p.add_argument("--cem_anchor", type=float, default=0.0)
+    p.add_argument("--eval_episodes", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--mass_variation", type=float, default=0.30)
+    p.add_argument("--thrust_variation", type=float, default=0.20)
+    p.add_argument("--cg_offset_max", type=float, default=0.05)
+    p.add_argument("--wind_max", type=float, default=3.0)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+    from flax import serialization
+
+    from tvc_ai_tpu.env.types import obs_dim as obs_dim_of
+    from tvc_ai_tpu.eval import rollout as rollout_mod
+    from tvc_ai_tpu.eval.evaluate import _suite_env_params
+    from tvc_ai_tpu.training import cem as cem_mod
+    from tvc_ai_tpu.training import demos, theta_student
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    obs_overrides = dict(drift_obs_enabled=True, action_obs_enabled=True)
+    train_params = _suite_env_params("robustness", obs_overrides=obs_overrides)
+    train_params = train_params.replace(
+        randomization=train_params.randomization.replace(
+            mass_variation=jnp.float32(args.mass_variation),
+            thrust_variation=jnp.float32(args.thrust_variation),
+            cg_offset_max=jnp.float32(args.cg_offset_max),
+            wind_max=jnp.float32(args.wind_max),
+        )
+    )
+    eval_params = {
+        "robustness": _suite_env_params(
+            "robustness", obs_overrides=obs_overrides),
+        "stress": _suite_env_params("stress", obs_overrides=obs_overrides),
+    }
+    if args.cg_offset_max == 0.0:
+        rob = eval_params["robustness"]
+        eval_params = {
+            "robust_cg0": rob.replace(
+                randomization=rob.randomization.replace(
+                    cg_offset_max=jnp.float32(0.0))),
+            **eval_params,
+        }
+
+    obs_dim = obs_dim_of(train_params)
+    print(f"obs_dim={obs_dim} history={args.history} "
+          f"view={obs_dim * args.history}")
+
+    t0 = time.time()
+    sched = demos.design_lqr_schedule(train_params)
+    print(f"teacher schedule designed in {time.time() - t0:.0f}s")
+
+    tcfg = theta_student.ThetaDaggerConfig(
+        num_envs=args.envs,
+        rollout_steps=args.rollout_steps,
+        capacity=(args.envs * args.rollout_steps) * 8,
+        batch_size=args.batch,
+        train_steps=args.train_steps,
+        lr=args.lr,
+        history_len=args.history,
+        hidden_dims=tuple(args.hidden),
+    )
+    cem_cfg = cem_mod.CEMConfig(
+        pop=args.cem_pop, generations=args.cem_gens,
+        horizon=args.cem_horizon, anchor_weight=args.cem_anchor,
+    )
+    if args.lr_cosine:
+        opt = optax.adam(optax.cosine_decay_schedule(
+            tcfg.lr, args.iters * tcfg.train_steps, alpha=0.1))
+    else:
+        opt = optax.adam(tcfg.lr)
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    state = theta_student.init_theta_state(k_init, opt, tcfg, obs_dim)
+    iteration = theta_student.make_theta_dagger_iteration(
+        train_params, sched, tcfg, obs_dim, cem_cfg, opt=opt
+    )
+
+    eval_fns = {
+        name: jax.jit(rollout_mod.make_policy_eval_fn(
+            theta_student.make_theta_policy_fn(eval_params[name], tcfg),
+            args.eval_episodes, history_len=args.history,
+        ))
+        for name in eval_params
+    }
+
+    def evaluate(params, k):
+        return {
+            name: float(jnp.mean(fn(params, k, eval_params[name]).success))
+            for name, fn in eval_fns.items()
+        }
+
+    primary = next(iter(eval_params))
+    best = {primary: -1.0}
+    history = []
+    for i in range(args.iters):
+        beta = max(args.beta_floor, args.beta0 * (args.beta_decay ** i))
+        key, k_it, k_ev = jax.random.split(key, 3)
+        t0 = time.time()
+        state, metrics = iteration(state, k_it, jnp.float32(beta))
+        metrics = {k: float(v) for k, v in metrics.items()}
+        scores = evaluate(state.net_params, k_ev)
+        dt = time.time() - t0
+        roll_sr = metrics["rollout_success"] / max(
+            metrics["rollout_episodes"], 1)
+        suite_str = " ".join(f"{n}={scores[n]:.2%}" for n in scores)
+        print(
+            f"iter {i:3d} beta={beta:.3f} "
+            f"theta {metrics['theta_loss_first']:.4f}->"
+            f"{metrics['theta_loss_last']:.4f} "
+            f"teacher_solved={metrics['teacher_solved']:.2%} "
+            f"rollout_sr={roll_sr:.2%} {suite_str} ({dt:.0f}s)",
+            flush=True,
+        )
+        history.append({"iter": i, "beta": beta, **metrics, **scores})
+        if scores[primary] > best[primary]:
+            best = {"iter": i, **scores}
+            payload = serialization.msgpack_serialize({
+                "kind": "theta_student",
+                "hidden_dims": list(tcfg.hidden_dims),
+                "history_len": tcfg.history_len,
+                "params": serialization.to_state_dict(state.net_params),
+            })
+            (out / "theta_student.msgpack").write_bytes(payload)
+    (out / "history.json").write_text(json.dumps(
+        {"best": best, "history": history, "args": vars(args)}, indent=2))
+    print(f"best: {best}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -592,3 +592,38 @@ def test_cem_dagger_iteration_masks_unsolved_draws():
     assert float(m["teacher_solved"]) == 0.0
     assert float(m["labeled_rows"]) == 0.0
     assert float(m["bc_loss_first"]) == 0.0
+
+
+@pytest.mark.slow
+def test_cem_theta_mask_and_anchor():
+    """refine_per_draw with theta_mask keeps masked components exactly
+    zero in every candidate (the student-view-constrained oracle of
+    scripts/suite_feasibility.py --student_view), and anchor_weight>0
+    produces finite scores with the penalty applied."""
+    from tvc_ai_tpu.config.build import build_env_params
+    from tvc_ai_tpu.env import rocket_env
+    from tvc_ai_tpu.training import cem, demos
+
+    cfg = FrameworkConfig()
+    cfg.env.domain_randomization.enabled = True
+    params = build_env_params(cfg)
+    sched = demos.design_lqr_schedule(
+        params, n_mass=3, n_tscale=3, verify=False
+    )
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    states, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    theta0 = cem.theta_for_states(sched, states)
+    mask = jnp.ones((cem.THETA_DIM,), jnp.float32)
+    mask = mask.at[jnp.array([1, 4, 7, 10, 14])].set(0.0)
+    ccfg = cem.CEMConfig(
+        pop=6, elites=2, generations=2, horizon=60, anchor_weight=0.5
+    )
+    theta, score = jax.jit(
+        lambda k, s, t: cem.refine_per_draw(
+            k, params, s, t, ccfg, theta_mask=mask
+        )
+    )(jax.random.PRNGKey(3), states, theta0)
+    assert np.all(np.isfinite(np.asarray(score)))
+    masked_cols = np.asarray(theta)[:, [1, 4, 7, 10, 14]]
+    assert np.all(masked_cols == 0.0)

@@ -43,6 +43,7 @@ def _suite_env_params(
     rocket_mass: float = 2.0,
     obs_overrides: dict[str, Any] | None = None,
     cg_offset_max: float | None = None,
+    sensor_noise: bool | None = None,
 ) -> EnvParams:
     """Suite env construction. ``rocket_mass`` defaults to the enhanced
     generation's nominal 2.0 kg (what current policies train on); pass 1.5
@@ -78,6 +79,15 @@ def _suite_env_params(
         params = params.replace(
             randomization=params.randomization.replace(
                 cg_offset_max=jnp.float32(cg_offset_max)
+            )
+        )
+    if sensor_noise is not None:
+        # ablation knob: isolates the observation-noise cost in a suite
+        # score (r4: noise costs the distilled student <1 pp — the CG
+        # axis, not noise, is what separates it from the oracle ceiling)
+        params = params.replace(
+            randomization=params.randomization.replace(
+                sensor_noise_enabled=sensor_noise
             )
         )
     if obs_overrides:
@@ -126,10 +136,11 @@ def run_suite(
     history_len: int = 1,
     obs_overrides: dict[str, Any] | None = None,
     cg_offset_max: float | None = None,
+    sensor_noise: bool | None = None,
 ) -> SuiteResult:
     episodes = num_episodes or SUITE_EPISODES[name]
     env_params = _suite_env_params(
-        name, rocket_mass, obs_overrides, cg_offset_max
+        name, rocket_mass, obs_overrides, cg_offset_max, sensor_noise
     )
     eval_fn = jax.jit(
         make_eval_fn(sac_cfg, episodes, obs_dim=obs_dim, history_len=history_len)
@@ -150,6 +161,7 @@ def run_all_suites(
     history_len: int = 1,
     obs_overrides: dict[str, Any] | None = None,
     cg_offset_max: float | None = None,
+    sensor_noise: bool | None = None,
 ) -> dict[str, SuiteResult]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -158,7 +170,7 @@ def run_all_suites(
         episodes = max(int(SUITE_EPISODES[name] * episodes_scale), 2)
         result = run_suite(
             agent_state, sac_cfg, name, episodes, seed, obs_dim, rocket_mass,
-            history_len, obs_overrides, cg_offset_max,
+            history_len, obs_overrides, cg_offset_max, sensor_noise,
         )
         results[name] = result
         write_episode_csv(result, output_dir / f"{name}_episodes.csv")

@@ -65,6 +65,13 @@ class CEMConfig(NamedTuple):
     streak_weight: float = 1.0  # score per in-window streak step
     success_bonus: float = 1000.0
     tilt_shaping: float = 10.0  # subtracts mean tilt (rad) × this
+    # canonicalization: subtract anchor_weight·‖θ−θ0‖² from the score so
+    # near-tie winners resolve toward the schedule init. Distinct CEM runs
+    # then label similar plants with similar controllers — without this the
+    # DAgger student regresses onto whichever of many equally-winning
+    # controllers each iteration's search happened to find (multimodal
+    # labels, irreducible BC loss). Zero preserves the pure oracle.
+    anchor_weight: float = 0.0
 
 
 def theta_from_design(design: LQRDesign) -> jnp.ndarray:
@@ -176,18 +183,30 @@ def refine_per_draw(
     states0: EnvState,
     theta0: jnp.ndarray,
     cfg: CEMConfig = CEMConfig(),
+    theta_mask: jnp.ndarray | None = None,
+    freeze_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """CEM-refine one controller per draw.
 
     states0: batched EnvState (one env per draw, DR params already drawn).
     theta0:  (draws, 15) initial means (e.g. theta_from_design of the
              interpolated schedule).
+    theta_mask: optional (15,) 0/1 mask applied to every candidate —
+             restricts the search to a controller subspace (e.g. zeroing
+             the dz/vz gain columns measures the ceiling of a controller
+             that only sees what the blind student's observation carries).
+    freeze_mask: optional (15,) 0/1 mask; components with 1 are PINNED to
+             theta0 in every candidate (search only the rest — e.g.
+             freezing all gains measures how much of the per-draw
+             adaptation is carried by the two trim components alone).
     Returns (theta_best (draws, 15), score_best (draws,)) — best-ever
     candidate per draw across all generations (elitist).
     """
     draws = theta0.shape[0]
     pop = cfg.pop
     rep_states = _replicate(states0, pop)
+    if theta_mask is not None:
+        theta0 = theta0 * theta_mask
 
     sigma0 = jnp.concatenate(
         [
@@ -206,9 +225,19 @@ def refine_per_draw(
         # needed: best-ever tracking keeps the true best)
         noise = noise.at[:, 0, :].set(0.0)
         cand = mean[:, None, :] + sigma[:, None, :] * noise
+        if theta_mask is not None:
+            cand = cand * theta_mask
+        if freeze_mask is not None:
+            cand = jnp.where(
+                freeze_mask.astype(bool), theta0[:, None, :], cand
+            )
         scores = rollout_score(
             cand.reshape(draws * pop, THETA_DIM), rep_states, params, cfg
         ).reshape(draws, pop)
+        if cfg.anchor_weight > 0.0:
+            scores = scores - cfg.anchor_weight * jnp.sum(
+                (cand - theta0[:, None, :]) ** 2, axis=-1
+            )
         # elite update
         elite_idx = jnp.argsort(-scores, axis=1)[:, : cfg.elites]
         elite = jnp.take_along_axis(

@@ -111,6 +111,7 @@ def make_dagger_iteration(
     cfg: DaggerConfig,
     obs_dim: int,
     act_dim: int,
+    opt: optax.GradientTransformation | None = None,
 ):
     """Build the jitted (state, key, beta) -> (state, metrics) DAgger step.
 
@@ -124,7 +125,8 @@ def make_dagger_iteration(
     actor, _ = sac_mod.make_networks(
         obs_dim * cfg.history_len, act_dim, sac_cfg
     )
-    opt = optax.adam(cfg.lr)
+    if opt is None:
+        opt = optax.adam(cfg.lr)
     n_rows = cfg.num_envs * cfg.rollout_steps
     assert cfg.capacity % n_rows == 0, (
         "capacity must be a multiple of rollout rows so ring writes never "
@@ -276,6 +278,7 @@ def make_cem_dagger_iteration(
     obs_dim: int,
     act_dim: int,
     cem_cfg: cem_mod.CEMConfig = cem_mod.CEMConfig(),
+    opt: optax.GradientTransformation | None = None,
 ):
     """CEM-teacher DAgger step: (state, key, beta) -> (state, metrics).
 
@@ -294,7 +297,8 @@ def make_cem_dagger_iteration(
     actor, _ = sac_mod.make_networks(
         obs_dim * cfg.history_len, act_dim, sac_cfg
     )
-    opt = optax.adam(cfg.lr)
+    if opt is None:
+        opt = optax.adam(cfg.lr)
     n_rows = cfg.num_envs * cfg.rollout_steps
     assert cfg.capacity % n_rows == 0, (
         "capacity must be a multiple of rollout rows so ring writes never "
