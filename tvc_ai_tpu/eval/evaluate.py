@@ -3,7 +3,8 @@
 Mirrors scripts/evaluate.py's harness on the batched rollout core:
 
 - Standard: 100 episodes, no randomization, 2000-step horizon (ref :312-335)
-- Robustness: 200 episodes, domain randomization + sensor noise (ref :338-362)
+- Robustness: 200 episodes, domain randomization + sensor noise,
+  2000-step horizon (ref :338-362)
 - Stress: 50 episodes, mass/thrust variation ±50 %, CG offset 0.1 m,
   1500-step horizon (ref :365-391)
 
@@ -60,7 +61,13 @@ def _suite_env_params(
         )
     elif name == "robustness":
         params = RocketConfig(mass=rocket_mass).to_env_params(
-            domain_randomization=True, sensor_noise=True, max_episode_steps=1000
+            # 2000-step horizon per ref :343 (r4 parity fix: this was 1000
+            # through r3; the longer cap also HALVES the progress-channel
+            # clock rate vs 1000-step training — ref :596 normalizes
+            # progress by the eval env's own cap, so clock-robustness is
+            # part of the benchmark. Pre-r4 robustness numbers in
+            # RESULTS.md were measured at the 1000-step cap.)
+            domain_randomization=True, sensor_noise=True, max_episode_steps=2000
         )
     elif name == "stress":
         cfg = RocketConfig(
