@@ -1,0 +1,166 @@
+"""Unit tests for the blind identification pilot (training/pilot.py).
+
+The pilot is the framework's answer to the robustness suite's
+identification race (RESULTS.md r4): a particle filter over the DR draw
+feeding a gain-scheduled LQR + per-draw CEM replanning. These tests pin
+the cheap, host-verifiable contracts: blind state reconstruction at t=0,
+posterior convergence onto the true draw from the observation stream
+alone, the prior-box invariant under resampling, and the LQR→CEM control
+handoff. Reference contract served: the robustness/stress evaluation
+suites (ref scripts/evaluate.py:338-391).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvc_ai_tpu.env import rocket_env
+from tvc_ai_tpu.eval.evaluate import _suite_env_params
+from tvc_ai_tpu.training import cem as cem_mod
+from tvc_ai_tpu.training import demos
+from tvc_ai_tpu.training import pilot as pilot_mod
+
+
+@pytest.fixture(scope="module")
+def suite_params():
+    # the official robustness suite's env params, drift channels on (the
+    # pilot's deployment observation layout)
+    return _suite_env_params("robustness", obs_overrides={"drift_obs_enabled": True})
+
+
+@pytest.fixture(scope="module")
+def filter_rollout(suite_params):
+    """One shared 30-step filter rollout (compile once, assert twice)."""
+    return _rollout_filter(suite_params)
+
+
+def _rollout_filter(params, n_envs=4, particles=64, steps=30, seed=0):
+    """Roll the filter on real suite episodes under zero actions; return
+    (true draws, filter states over time)."""
+    pcfg = pilot_mod.PilotConfig(particles=particles)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_envs)
+    states, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    fs = jax.vmap(pilot_mod.init_filter, in_axes=(0, 0, None, None))(
+        jax.random.split(jax.random.PRNGKey(seed + 1), n_envs),
+        obs0,
+        params,
+        pcfg,
+    )
+
+    @jax.jit
+    def roll(states, fs):
+        def step_fn(c, _):
+            st, fs = c
+            act = jnp.zeros((n_envs, 2), jnp.float32)
+            nxt, out, _ = rocket_env.batched_step_autoreset(
+                st, act, params, use_pallas=False
+            )
+            fs = jax.vmap(
+                lambda f, o: pilot_mod.observe(f, jnp.zeros(2), o, params, pcfg),
+                in_axes=(0, 0),
+            )(fs, out.obs)
+            return (nxt, fs), None
+
+        return jax.lax.scan(step_fn, (states, fs), None, length=steps)[0]
+
+    _, fs_end = roll(states, fs)
+    return states.dr, fs, fs_end
+
+
+def _cg_err(fs, true_dr):
+    est = jax.vmap(pilot_mod.estimate_dr)(fs)
+    return np.linalg.norm(
+        np.asarray(est.cg_offset - true_dr.cg_offset)[:, :2], axis=1
+    )
+
+
+def test_init_filter_reconstructs_state_blind(suite_params):
+    """t=0 seed uses only the presented observation + the public reset law,
+    and lands within sensor-noise distance of the true body state."""
+    params = suite_params
+    key = jax.random.PRNGKey(3)
+    state, obs0 = rocket_env.reset(key, params)
+    fs = pilot_mod.init_filter(
+        jax.random.PRNGKey(4), obs0, params, pilot_mod.PilotConfig(particles=8)
+    )
+    # all particles share the seeded body state at t=0
+    body = jax.tree.map(lambda x: x[0], fs.bodies)
+    np.testing.assert_allclose(
+        np.asarray(body.pos), np.asarray(state.body.pos), atol=1e-5
+    )
+    # quat/omega come from the noisy IMU reading: σ=0.02 per channel
+    q_err = min(
+        float(jnp.sum((body.quat - state.body.quat) ** 2) ** 0.5),
+        float(jnp.sum((body.quat + state.body.quat) ** 2) ** 0.5),
+    )
+    assert q_err < 0.1
+    assert float(jnp.linalg.norm(body.omega - state.body.omega)) < 0.15
+
+
+def test_filter_identifies_cg_from_observations(filter_rollout):
+    """Median posterior cg error shrinks well below the prior spread within
+    30 control steps (0.6 s) — the identification race the r4 students
+    lost, won from the observation stream alone."""
+    true_dr, fs0, fs_end = filter_rollout
+    err0 = _cg_err(fs0, true_dr)
+    err_end = _cg_err(fs_end, true_dr)
+    # prior mean error for |cg| ~ U-ish over ±0.05 box is ~tens of mm
+    assert np.median(err_end) < 0.012, (np.median(err0), np.median(err_end))
+    assert np.median(err_end) < 0.5 * np.median(err0)
+
+
+def test_resample_keeps_hypotheses_in_prior_box(suite_params, filter_rollout):
+    """Liu-West jitter must never push a hypothesis outside the DR prior's
+    support (the public benchmark definition)."""
+    params = suite_params
+    _, _, fs_end = filter_rollout
+    rnd = params.randomization
+    rp = params.rocket
+    mass = np.asarray(fs_end.dr.mass)
+    tsc = np.asarray(fs_end.dr.thrust_scale)
+    cg = np.asarray(fs_end.dr.cg_offset)
+    wind = np.asarray(fs_end.dr.wind)
+    assert (mass >= float(rp.mass) * (1 - float(rnd.mass_variation)) - 1e-6).all()
+    assert (mass <= float(rp.mass) * (1 + float(rnd.mass_variation)) + 1e-6).all()
+    assert (np.abs(tsc - 1.0) <= 2 * float(rnd.thrust_variation) + 1e-6).all()
+    assert (np.abs(cg[..., :2]) <= float(rnd.cg_offset_max) + 1e-6).all()
+    assert (np.abs(wind[..., :2]) <= float(rnd.wind_max) + 1e-6).all()
+    assert (wind[..., 2] == 0).all()
+
+
+@pytest.mark.slow
+def test_pilot_handoff_lqr_to_cem(suite_params):
+    """Before the first replan the pilot flies the scheduled LQR at its
+    posterior; after replan it flies the CEM controller (has_theta flips)."""
+    params = suite_params
+    n = 2
+    sched = demos.design_lqr_schedule(params, n_mass=2, n_tscale=2, verify=False)
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    states, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    ps = jax.vmap(pilot_mod.init_pilot, in_axes=(0, 0, None, None))(
+        jax.random.split(jax.random.PRNGKey(12), n), obs0, params,
+        pilot_mod.PilotConfig(particles=16),
+    )
+    assert not bool(ps.has_theta.any())
+    ps2, act = jax.vmap(lambda s: pilot_mod.pilot_act(s, sched, params))(ps)
+    body = jax.vmap(pilot_mod.estimate_body)(ps2.filt)
+    dr = jax.vmap(pilot_mod.estimate_dr)(ps2.filt)
+    expect = jax.vmap(
+        lambda b, m, t: demos.lqr_action_scheduled(
+            b, sched, m, t, jnp.zeros(3), params.rocket
+        )
+    )(body, dr.mass, dr.thrust_scale)
+    np.testing.assert_allclose(np.asarray(act), np.asarray(expect), atol=1e-5)
+
+    ccfg = cem_mod.CEMConfig(pop=8, elites=2, generations=2, horizon=50)
+    ps3 = pilot_mod.replan(
+        jax.random.PRNGKey(13), ps2, sched, params, ccfg, states
+    )
+    assert bool(ps3.has_theta.all())
+    ps4, act2 = jax.vmap(lambda s: pilot_mod.pilot_act(s, sched, params))(ps3)
+    body2 = jax.vmap(pilot_mod.estimate_body)(ps4.filt)
+    expect2 = jax.vmap(
+        lambda th, b: cem_mod.controller_action(th, b, params.rocket)
+    )(ps3.theta, body2)
+    np.testing.assert_allclose(np.asarray(act2), np.asarray(expect2), atol=1e-5)
