@@ -42,6 +42,27 @@ def main() -> int:
     p.add_argument("--cem_horizon", type=int, default=700)
     p.add_argument("--sigma_drift", type=float, default=0.02)
     p.add_argument("--jitter_frac", type=float, default=0.25)
+    p.add_argument("--library", default=None,
+                   help="controller-library .npz (build_ctrl_library.py): "
+                        "start on library[0] and posterior-select at the "
+                        "--select step indices instead of CEM replanning")
+    p.add_argument("--select", default="25,150",
+                   help="comma-separated step indices for library selection")
+    p.add_argument("--select_samples", type=int, default=8,
+                   help="posterior particles scored per selection")
+    p.add_argument("--select_horizon", type=int, default=500,
+                   help="model-rollout length per selection score")
+    p.add_argument("--state_from_obs", action="store_true",
+                   help="feed the control law the raw observed state "
+                        "(IMU + INS channels; z/vz from the posterior) "
+                        "instead of the posterior-mean body")
+    p.add_argument("--oracle_dr", action="store_true",
+                   help="PROBE (privileged): replan on the episode's TRUE "
+                        "draw instead of the posterior — isolates how much "
+                        "identification error costs")
+    p.add_argument("--oracle_state", action="store_true",
+                   help="PROBE (privileged): replan from the episode's TRUE "
+                        "body state/fuel instead of the posterior mean")
     p.add_argument("--cg_offset_max", type=float, default=None)
     p.add_argument("--sensor_noise", type=int, default=None,
                    help="override suite sensor noise (0/1)")
@@ -79,12 +100,26 @@ def main() -> int:
         particles=args.particles,
         sigma_drift=args.sigma_drift,
         jitter_frac=args.jitter_frac,
+        state_from_obs=args.state_from_obs,
     )
     ccfg = cem_mod.CEMConfig(
         pop=args.cem_pop, generations=args.cem_gens,
         horizon=args.cem_horizon,
     )
-    replans = [int(s) for s in args.replan.split(",") if s.strip()]
+    library = None
+    if args.library:
+        import numpy as _np
+
+        blob = _np.load(args.library, allow_pickle=False)
+        library = jnp.asarray(blob["theta"])
+        print(f"library: {library.shape[0]} controllers from "
+              f"{args.library} (fresh ceiling "
+              f"{float(blob['fresh_lib_ceiling']):.1%}, best single "
+              f"{float(blob['fresh_best_single']):.1%})")
+        events = [int(s) for s in args.select.split(",") if s.strip()]
+    else:
+        events = [int(s) for s in args.replan.split(",") if s.strip()]
+    replans = events
     horizon = args.steps or params.max_episode_steps
     n = args.episodes
 
@@ -96,13 +131,19 @@ def main() -> int:
     ps = jax.vmap(pilot_mod.init_pilot, in_axes=(0, 0, None, None))(
         pkeys, obs0, params, pcfg
     )
+    if library is not None:
+        # pre-identification strategy: the best-coverage member
+        ps = ps._replace(
+            theta=jnp.broadcast_to(library[0], ps.theta.shape),
+            has_theta=jnp.ones_like(ps.has_theta),
+        )
     # shape template for replan's hypothetical states (contents overwritten
     # by the pilot's own estimates — fresh keys, nothing from the episode)
     tkeys = jax.random.split(jax.random.PRNGKey(args.seed + 2), n)
     template, _ = jax.vmap(rocket_env.reset, in_axes=(0, None))(tkeys, params)
 
     act_fn = jax.vmap(
-        lambda s: pilot_mod.pilot_act(s, sched, params), in_axes=0
+        lambda s: pilot_mod.pilot_act(s, sched, params, pcfg), in_axes=0
     )
     obs_fn = jax.vmap(
         lambda s, o: pilot_mod.pilot_observe(s, o, params, pcfg),
@@ -130,9 +171,29 @@ def main() -> int:
         return jax.lax.scan(step_fn, carry, None, length=length)[0]
 
     seg_jit = jax.jit(segment, static_argnums=1)
-    replan_jit = jax.jit(
-        lambda k, ps: pilot_mod.replan(k, ps, sched, params, ccfg, template)
-    )
+
+    if library is not None:
+        score_cfg = cem_mod.CEMConfig(
+            horizon=args.select_horizon, alive_weight=0.1
+        )
+
+        def _replan(k, ps, st):
+            return pilot_mod.select_from_library(
+                k, ps, library, params, score_cfg, template,
+                n_samples=args.select_samples,
+            )
+    else:
+        def _replan(k, ps, st):
+            bodies = (st.body if args.oracle_state
+                      else jax.vmap(pilot_mod.estimate_body)(ps.filt))
+            drs = (st.dr if args.oracle_dr
+                   else jax.vmap(pilot_mod.estimate_dr)(ps.filt))
+            fuel = st.fuel if args.oracle_state else ps.filt.fuel
+            return pilot_mod.replan_from(
+                k, ps, bodies, drs, fuel, sched, params, ccfg, template
+            )
+
+    replan_jit = jax.jit(_replan)
 
     bounds = sorted(set([0] + [t for t in replans if 0 < t < horizon]
                         + [horizon]))
@@ -146,14 +207,21 @@ def main() -> int:
             if args.diag:
                 _diag(ps, true_dr, done, b, pilot_mod, jax, np)
             rkey, k = jax.random.split(rkey)
-            ps = replan_jit(k, ps)
+            ps = replan_jit(k, ps, st)
             carry = (st, done, succ, ps)
     _, done, succ, ps = carry
     ok = np.asarray(succ)
     dt = time.time() - t0
+    tags = "".join(
+        f" {t}" for t, on in [("obs-state", args.state_from_obs),
+                              ("ORACLE-DR", args.oracle_dr),
+                              ("ORACLE-STATE", args.oracle_state)] if on
+    )
+    mode = (f"select@{replans} K={library.shape[0]}"
+            if library is not None else f"replan@{replans}")
     print(f"== {args.suite} suite: pilot strict success "
           f"{ok.mean():.1%} ({int(ok.sum())}/{n}, {dt:.0f}s, "
-          f"P={args.particles}, replan@{replans}) ==")
+          f"P={args.particles}, {mode}{tags}) ==")
     _breakdown(params, true_dr, ok, np)
     return 0
 

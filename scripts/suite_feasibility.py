@@ -53,6 +53,11 @@ def main() -> int:
     parser.add_argument("--cem_pop", type=int, default=64)
     parser.add_argument("--cem_gens", type=int, default=25)
     parser.add_argument("--cem_horizon", type=int, default=700)
+    parser.add_argument("--obs_noise", type=float, default=0.0,
+                        help="model IMU noise (sigma on quat/omega) inside "
+                             "the CEM scoring rollouts — 0.02 measures the "
+                             "noise-robust oracle ceiling instead of the "
+                             "clean-feedback (in-model) one")
     parser.add_argument("--student_view", action="store_true",
                         help="restrict the CEM search to gains on state the "
                              "blind student's observation actually carries "
@@ -116,7 +121,7 @@ def main() -> int:
 
             ccfg = cem_mod.CEMConfig(
                 pop=args.cem_pop, generations=args.cem_gens,
-                horizon=args.cem_horizon,
+                horizon=args.cem_horizon, obs_noise_std=args.obs_noise,
             )
             theta0 = cem_mod.theta_for_states(sched, states)
             mask = None

@@ -129,6 +129,68 @@ def test_resample_keeps_hypotheses_in_prior_box(suite_params, filter_rollout):
     assert (wind[..., 2] == 0).all()
 
 
+def test_body_from_obs_reconstructs_observed_channels(suite_params):
+    """state_from_obs control state: quat/ω match the IMU reading, xy
+    pos/vel match the exact INS drift channels; only z/vz come from the
+    posterior."""
+    params = suite_params
+    state, obs0 = rocket_env.reset(jax.random.PRNGKey(7), params)
+    fs = pilot_mod.init_filter(
+        jax.random.PRNGKey(8), obs0, params, pilot_mod.PilotConfig(particles=8)
+    )
+    body = pilot_mod.body_from_obs(obs0, fs, params)
+    q_read = obs0[0:4] / jnp.linalg.norm(obs0[0:4])
+    np.testing.assert_allclose(
+        np.asarray(body.quat), np.asarray(q_read), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(body.omega), np.asarray(obs0[4:7]), atol=1e-6
+    )
+    # drift channels are exact: xy pos/vel equal the true state's
+    np.testing.assert_allclose(
+        np.asarray(body.pos[:2]), np.asarray(state.body.pos[:2]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(body.vel[:2]), np.asarray(state.body.vel[:2]), atol=1e-5
+    )
+
+
+def test_select_from_library_prefers_working_controller(suite_params):
+    """Posterior-scored selection must pick a plausible controller over a
+    deliberately unstable one (huge wrong-sign gains). Run on the NOMINAL
+    plant (DR off) where the schedule-init LQR provably holds the window —
+    under a wild suite draw both candidates can fail and the ranking is
+    legitimately draw-dependent."""
+    params = suite_params.replace(
+        randomization=suite_params.randomization.replace(
+            enabled=False, sensor_noise_enabled=False
+        )
+    )
+    n = 2
+    sched = demos.design_lqr_schedule(params, n_mass=2, n_tscale=2, verify=False)
+    keys = jax.random.split(jax.random.PRNGKey(21), n)
+    states, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    ps = jax.vmap(pilot_mod.init_pilot, in_axes=(0, 0, None, None))(
+        jax.random.split(jax.random.PRNGKey(22), n), obs0, params,
+        pilot_mod.PilotConfig(particles=16),
+    )
+    good = cem_mod.theta_for_states(sched, states)[0]
+    bad = -10.0 * jnp.ones_like(good)  # wrong-sign saturating gains
+    library = jnp.stack([bad, good])
+    # alive_weight: with zero streak everywhere, survival must dominate
+    # the frozen-crash tilt artifact (see CEMConfig.alive_weight); horizon
+    # long enough for the good controller to bank a success streak
+    score_cfg = cem_mod.CEMConfig(horizon=150, alive_weight=0.1)
+    ps2 = pilot_mod.select_from_library(
+        jax.random.PRNGKey(23), ps, library, params, score_cfg, states,
+        n_samples=4,
+    )
+    assert bool(ps2.has_theta.all())
+    np.testing.assert_allclose(
+        np.asarray(ps2.theta), np.tile(np.asarray(good), (n, 1)), atol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_pilot_handoff_lqr_to_cem(suite_params):
     """Before the first replan the pilot flies the scheduled LQR at its

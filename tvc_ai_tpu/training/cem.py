@@ -65,6 +65,23 @@ class CEMConfig(NamedTuple):
     streak_weight: float = 1.0  # score per in-window streak step
     success_bonus: float = 1000.0
     tilt_shaping: float = 10.0  # subtracts mean tilt (rad) × this
+    # survival term (score per live step, default off). The tilt shaping
+    # averages over LIVE steps only, so with zero streak a controller that
+    # crashes instantly at low tilt outscores one that survives with
+    # drifting tilt — harmless inside CEM refinement (elites have streaks)
+    # but exactly backwards for the pilot's library SELECTION, where
+    # "no member succeeds in the model" must resolve to the longest
+    # survivor, not the fastest crasher.
+    alive_weight: float = 0.0
+    # execution-noise modeling (default off = the r4 in-model oracle).
+    # When > 0, the controller inside rollout_score is fed a NOISY copy of
+    # quat/ω (σ per channel, matching the suite's IMU sensor noise) while
+    # the plant itself stays exact — the deployment condition. The r4
+    # measurement that forced this: CEM-refined θ scoring ~11 % in-model
+    # collapse to ~0.8 % when EXECUTED through the robustness suite's
+    # σ=0.02 readings, even with the true draw and true state handed to
+    # the planner — clean-feedback refinement selects knife-edge gains.
+    obs_noise_std: float = 0.0
     # canonicalization: subtract anchor_weight·‖θ−θ0‖² from the score so
     # near-tie winners resolve toward the schedule init. Distinct CEM runs
     # then label similar plants with similar controllers — without this the
@@ -117,15 +134,33 @@ def rollout_score(
     states0: EnvState,
     params: EnvParams,
     cfg: CEMConfig,
+    key: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Score each (row) controller on its (row) env draw: best in-window
     streak + success bonus − tilt shaping. Episodes freeze at their first
-    termination (no autoreset — one draw, one episode, one score)."""
+    termination (no autoreset — one draw, one episode, one score).
+    With ``cfg.obs_noise_std > 0`` the controller sees IMU-noisy quat/ω
+    (``key`` seeds the noise; defaults to PRNGKey(0))."""
     rp = params.rocket
+    noisy = cfg.obs_noise_std > 0.0
+    key0 = key if key is not None else jax.random.PRNGKey(0)
 
     def step_fn(carry, _):
-        st, done, succ, best_streak, tilt_sum, steps = carry
-        act = controller_action(theta, st.body, rp)
+        st, done, succ, best_streak, tilt_sum, steps, k = carry
+        ctrl_body = st.body
+        if noisy:
+            k, kq, kw = jax.random.split(k, 3)
+            ctrl_body = ctrl_body.replace(
+                quat=quat.normalize(
+                    ctrl_body.quat
+                    + cfg.obs_noise_std
+                    * jax.random.normal(kq, ctrl_body.quat.shape)
+                ),
+                omega=ctrl_body.omega
+                + cfg.obs_noise_std
+                * jax.random.normal(kw, ctrl_body.omega.shape),
+            )
+        act = controller_action(theta, ctrl_body, rp)
         nxt, out, _ = rocket_env.batched_step_autoreset(
             st, act, params, use_pallas=False
         )
@@ -147,7 +182,9 @@ def rollout_score(
         )
         tilt_sum = tilt_sum + jnp.where(done, 0.0, out.tilt)
         steps = steps + jnp.where(done, 0, 1)
-        return (nxt, done | ep_done, succ, best_streak, tilt_sum, steps), None
+        return (
+            nxt, done | ep_done, succ, best_streak, tilt_sum, steps, k
+        ), None
 
     n = theta.shape[0]
     init = (
@@ -157,14 +194,16 @@ def rollout_score(
         jnp.zeros(n, jnp.int32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.int32),
+        key0,
     )
-    (_, _, success, best_streak, tilt_sum, steps), _ = jax.lax.scan(
+    (_, _, success, best_streak, tilt_sum, steps, _), _ = jax.lax.scan(
         step_fn, init, None, length=cfg.horizon
     )
     mean_tilt = tilt_sum / jnp.maximum(steps, 1)
     return (
         cfg.success_bonus * success.astype(jnp.float32)
         + cfg.streak_weight * best_streak.astype(jnp.float32)
+        + cfg.alive_weight * steps.astype(jnp.float32)
         - cfg.tilt_shaping * mean_tilt
     )
 
@@ -219,7 +258,7 @@ def refine_per_draw(
 
     def generation(i, carry):
         mean, sigma, best_theta, best_score, key = carry
-        key, k_noise = jax.random.split(key)
+        key, k_noise, k_obs = jax.random.split(key, 3)
         noise = jax.random.normal(k_noise, (draws, pop, THETA_DIM))
         # candidate 0 is the current mean (elitist re-evaluation not
         # needed: best-ever tracking keeps the true best)
@@ -232,7 +271,8 @@ def refine_per_draw(
                 freeze_mask.astype(bool), theta0[:, None, :], cand
             )
         scores = rollout_score(
-            cand.reshape(draws * pop, THETA_DIM), rep_states, params, cfg
+            cand.reshape(draws * pop, THETA_DIM), rep_states, params, cfg,
+            key=k_obs,
         ).reshape(draws, pop)
         if cfg.anchor_weight > 0.0:
             scores = scores - cfg.anchor_weight * jnp.sum(

@@ -97,6 +97,14 @@ class PilotConfig(NamedTuple):
     jitter_floor_thrust: float = 0.002
     jitter_floor_cg: float = 0.0004
     jitter_floor_wind: float = 0.01
+    # control-path state source: False = posterior-mean body (the filter
+    # doubles as an IMU denoiser, at the cost of estimator lag), True =
+    # the presented observation directly (quat/ω from the IMU reading,
+    # xy pos/vel from the exact INS drift channels) with only the two
+    # unobserved channels (z, vz) taken from the posterior. The plant is
+    # marginally stable, so feedback latency costs more than the σ=0.02
+    # reading noise — measured on the robustness suite (RESULTS.md r4).
+    state_from_obs: bool = False
 
 
 class FilterState(NamedTuple):
@@ -114,6 +122,7 @@ class PilotState(NamedTuple):
     theta: jnp.ndarray            # (THETA_DIM,) CEM-replanned controller
     has_theta: jnp.ndarray        # bool — False until the first replan
     prev_action: jnp.ndarray      # (ACTION_DIM,) last commanded action
+    last_obs: jnp.ndarray         # the most recent presented observation
 
 
 # ---------------------------------------------------------------------------
@@ -393,17 +402,52 @@ def init_pilot(
         theta=jnp.zeros(cem_mod.THETA_DIM, jnp.float32),
         has_theta=jnp.asarray(False),
         prev_action=jnp.zeros(ACTION_DIM, jnp.float32),
+        last_obs=obs0,
     )
 
 
+def body_from_obs(
+    obs: jnp.ndarray, filt: FilterState, params: EnvParams
+) -> RigidBodyState:
+    """Control-state reconstruction straight from the presented observation:
+    quat/ω are the IMU reading, xy pos/vel the exact INS drift channels;
+    only the unobserved (z, vz) come from the filter's posterior mean."""
+    q_read, w_read, _, drift = _parse_obs(obs, params)
+    post = estimate_body(filt)
+    if drift is not None:
+        vel_xy = drift[:2] / params.drift_obs_vel_scale
+        pos_xy = drift[2:] / params.drift_obs_pos_scale
+    else:
+        vel_xy = post.vel[:2]
+        pos_xy = post.pos[:2]
+    return RigidBodyState(
+        pos=jnp.concatenate([pos_xy, post.pos[2:3]]),
+        quat=quat.normalize(q_read),
+        vel=jnp.concatenate([vel_xy, post.vel[2:3]]),
+        omega=w_read,
+    )
+
+
+def control_body(
+    ps: PilotState, params: EnvParams, cfg: PilotConfig
+) -> RigidBodyState:
+    """The state fed to the control law (see PilotConfig.state_from_obs)."""
+    if cfg.state_from_obs:
+        return body_from_obs(ps.last_obs, ps.filt, params)
+    return estimate_body(ps.filt)
+
+
 def pilot_act(
-    ps: PilotState, sched: demos.LQRSchedule, params: EnvParams
+    ps: PilotState,
+    sched: demos.LQRSchedule,
+    params: EnvParams,
+    cfg: PilotConfig = PilotConfig(),
 ) -> tuple[PilotState, jnp.ndarray]:
     """Action from the current posterior: the CEM-replanned controller once
     one exists, else the gain-scheduled blind LQR at the posterior-mean
-    plant — both fed the posterior-mean state (the filter doubles as the
-    IMU denoiser)."""
-    body = estimate_body(ps.filt)
+    plant — fed the posterior-mean state or the raw observed state per
+    ``cfg.state_from_obs``."""
+    body = control_body(ps, params, cfg)
     dr = estimate_dr(ps.filt)
     rp = params.rocket
     a_lqr = demos.lqr_action_scheduled(
@@ -418,7 +462,111 @@ def pilot_observe(
     ps: PilotState, obs: jnp.ndarray, params: EnvParams, cfg: PilotConfig
 ) -> PilotState:
     return ps._replace(
-        filt=observe(ps.filt, ps.prev_action, obs, params, cfg)
+        filt=observe(ps.filt, ps.prev_action, obs, params, cfg),
+        last_obs=obs,
+    )
+
+
+def replan_from(
+    key: jnp.ndarray,
+    ps: PilotState,                 # batched over envs (leading axis N)
+    bodies: RigidBodyState,         # (N,) plan-from body states
+    drs: DomainParams,              # (N,) plant hypotheses
+    fuel: jnp.ndarray,              # (N,) fuel hypotheses
+    sched: demos.LQRSchedule,
+    params: EnvParams,
+    ccfg: cem_mod.CEMConfig,
+    template: EnvState,             # (N,) env-state template for shapes only
+) -> PilotState:
+    """Per-draw CEM replan mechanism from explicit (body, draw, fuel)
+    hypotheses. ``replan`` feeds it the pilot's own posterior (the honest
+    blind path); scripts/pilot_eval.py's --oracle_* probes feed it the
+    evaluated episode's truth to isolate which estimation error binds."""
+    n = ps.has_theta.shape[0]
+    states = template.replace(
+        body=bodies,
+        dr=drs,
+        fuel=fuel,
+        step_count=jnp.zeros(n, jnp.int32),
+        phase=template.phase,
+        mission_success=jnp.zeros(n, bool),
+        success_count=jnp.zeros(n, jnp.int32),
+        prev_action=ps.prev_action,
+    )
+    theta0 = cem_mod.theta_from_design(
+        demos.interp_design(sched, drs.mass, drs.thrust_scale)
+    )
+    # warm-start from the previous plan where one exists
+    theta0 = jnp.where(ps.has_theta[:, None], ps.theta, theta0)
+    theta, _ = cem_mod.refine_per_draw(key, params, states, theta0, ccfg)
+    return ps._replace(theta=theta, has_theta=jnp.ones_like(ps.has_theta))
+
+
+def select_from_library(
+    key: jnp.ndarray,
+    ps: PilotState,                 # batched over envs (leading axis N)
+    library: jnp.ndarray,           # (K, THETA_DIM) set-cover controllers
+    params: EnvParams,
+    score_cfg: cem_mod.CEMConfig,   # horizon/shaping for the scoring rollouts
+    template: EnvState,             # (N,) env-state template for shapes only
+    n_samples: int = 8,
+) -> PilotState:
+    """Bayes-adaptive controller selection: score every library member on
+    ``n_samples`` posterior PARTICLES (each a joint state+draw hypothesis —
+    no mean collapse, so jointly-unidentifiable axes like (cg, wind) torque
+    are handled by agreement across samples) inside the pilot's own model,
+    and commit to the member with the best posterior-mean score.
+
+    Cost: N·K·S model rollouts of ``score_cfg.horizon`` steps — at the
+    defaults (512·16·8·500 ≈ 33M model steps) well under a second of TPU
+    time, cheap enough to re-select several times per episode. The library
+    comes from scripts/build_ctrl_library.py (greedy set cover of the
+    per-draw CEM oracle's solved set; library[0] = best single coverage,
+    the pre-identification strategy)."""
+    n = ps.has_theta.shape[0]
+    k = library.shape[0]
+    s = n_samples
+    key, k_obs = jax.random.split(key)
+
+    # sample S particle indices per env from the posterior weights
+    def draw_idx(key_i, log_w):
+        return jax.random.categorical(key_i, log_w, shape=(s,))
+
+    idx = jax.vmap(draw_idx)(jax.random.split(key, n), ps.filt.log_w)  # (N,S)
+
+    # gather sampled hypotheses: bodies (N,S,...), draws (N,S,...)
+    take = lambda x: jnp.take_along_axis(  # noqa: E731
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
+    )
+    bodies = jax.tree.map(take, ps.filt.bodies)
+    drs = jax.tree.map(take, ps.filt.dr)
+
+    # tile to (N·S·K,) rollouts: env slowest, sample middle, member fastest
+    def rep(x):
+        x = jnp.repeat(x.reshape((n * s,) + x.shape[2:]), k, axis=0)
+        return x
+
+    rbodies = jax.tree.map(rep, bodies)
+    rdrs = jax.tree.map(rep, drs)
+    r = n * s * k
+    texp = jax.tree.map(
+        lambda x: jnp.repeat(x, s * k, axis=0), template
+    )
+    states = texp.replace(
+        body=rbodies,
+        dr=rdrs,
+        fuel=jnp.repeat(ps.filt.fuel, s * k),
+        step_count=jnp.zeros(r, jnp.int32),
+        mission_success=jnp.zeros(r, bool),
+        success_count=jnp.zeros(r, jnp.int32),
+        prev_action=jnp.repeat(ps.prev_action, s * k, axis=0),
+    )
+    theta = jnp.tile(library, (n * s, 1))  # (N·S·K, THETA_DIM)
+    scores = cem_mod.rollout_score(theta, states, params, score_cfg, key=k_obs)
+    mean_over_samples = scores.reshape(n, s, k).mean(1)  # (N, K)
+    best = jnp.argmax(mean_over_samples, axis=1)  # (N,)
+    return ps._replace(
+        theta=library[best], has_theta=jnp.ones_like(ps.has_theta)
     )
 
 
@@ -437,23 +585,6 @@ def replan(
     nothing of the evaluated episode leaks in."""
     bodies = jax.vmap(estimate_body)(ps.filt)
     drs = jax.vmap(estimate_dr)(ps.filt)
-    n = ps.has_theta.shape[0]
-    states = template.replace(
-        body=bodies,
-        dr=drs,
-        fuel=ps.filt.fuel,
-        step_count=jnp.zeros(n, jnp.int32),
-        phase=template.phase,
-        mission_success=jnp.zeros(n, bool),
-        success_count=jnp.zeros(n, jnp.int32),
-        prev_action=ps.prev_action,
+    return replan_from(
+        key, ps, bodies, drs, ps.filt.fuel, sched, params, ccfg, template
     )
-    theta0 = jax.vmap(
-        lambda d: cem_mod.theta_from_design(
-            demos.interp_design(sched, d.mass, d.thrust_scale)
-        )
-    )(drs)
-    # warm-start from the previous plan where one exists
-    theta0 = jnp.where(ps.has_theta[:, None], ps.theta, theta0)
-    theta, _ = cem_mod.refine_per_draw(key, params, states, theta0, ccfg)
-    return ps._replace(theta=theta, has_theta=jnp.ones_like(ps.has_theta))
