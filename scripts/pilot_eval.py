@@ -52,6 +52,11 @@ def main() -> int:
                    help="posterior particles scored per selection")
     p.add_argument("--select_horizon", type=int, default=500,
                    help="model-rollout length per selection score")
+    p.add_argument("--select_noise", type=float, default=0.0,
+                   help="obs_noise_std for the selection scoring rollouts "
+                        "(0 = clean feedback; set to the suite's IMU σ so "
+                        "members are ranked by executed-under-noise "
+                        "performance, not knife-edge in-model scores)")
     p.add_argument("--state_from_obs", action="store_true",
                    help="feed the control law the raw observed state "
                         "(IMU + INS channels; z/vz from the posterior) "
@@ -174,13 +179,17 @@ def main() -> int:
 
     if library is not None:
         score_cfg = cem_mod.CEMConfig(
-            horizon=args.select_horizon, alive_weight=0.1
+            horizon=args.select_horizon, alive_weight=0.1,
+            obs_noise_std=args.select_noise,
         )
 
         def _replan(k, ps, st):
             return pilot_mod.select_from_library(
                 k, ps, library, params, score_cfg, template,
                 n_samples=args.select_samples,
+                bodies=st.body if args.oracle_state else None,
+                drs=st.dr if args.oracle_dr else None,
+                fuel=st.fuel if args.oracle_state else None,
             )
     else:
         def _replan(k, ps, st):
@@ -193,7 +202,13 @@ def main() -> int:
                 k, ps, bodies, drs, fuel, sched, params, ccfg, template
             )
 
-    replan_jit = jax.jit(_replan)
+    # library selection runs EAGERLY: jitting the whole selection (the
+    # (N, particles) posterior gather + the N·S·K noisy scoring scan in ONE
+    # program) hangs XLA/axon compilation at P=192 — measured >1200 s,
+    # while P=32-jitted, P=192-eager, and the clean-feedback P=192-jitted
+    # variants all finish in 37-82 s. Eager selection costs ~60 s and runs
+    # at most a few times per eval.
+    replan_jit = _replan if library is not None else jax.jit(_replan)
 
     bounds = sorted(set([0] + [t for t in replans if 0 < t < horizon]
                         + [horizon]))

@@ -155,19 +155,27 @@ def test_body_from_obs_reconstructs_observed_channels(suite_params):
     )
 
 
-def test_select_from_library_prefers_working_controller(suite_params):
-    """Posterior-scored selection must pick a plausible controller over a
-    deliberately unstable one (huge wrong-sign gains). Run on the NOMINAL
-    plant (DR off) where the schedule-init LQR provably holds the window —
-    under a wild suite draw both candidates can fail and the ranking is
-    legitimately draw-dependent."""
+@pytest.fixture(scope="module")
+def nominal_setup(suite_params):
+    """Nominal plant (DR off) + a small LQR schedule, shared by the
+    selection tests — design_lqr_schedule dominates their runtime."""
     params = suite_params.replace(
         randomization=suite_params.randomization.replace(
             enabled=False, sensor_noise_enabled=False
         )
     )
-    n = 2
     sched = demos.design_lqr_schedule(params, n_mass=2, n_tscale=2, verify=False)
+    return params, sched
+
+
+def test_select_from_library_prefers_working_controller(nominal_setup):
+    """Posterior-scored selection must pick a plausible controller over a
+    deliberately unstable one (huge wrong-sign gains). Run on the NOMINAL
+    plant (DR off) where the schedule-init LQR provably holds the window —
+    under a wild suite draw both candidates can fail and the ranking is
+    legitimately draw-dependent."""
+    params, sched = nominal_setup
+    n = 2
     keys = jax.random.split(jax.random.PRNGKey(21), n)
     states, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
     ps = jax.vmap(pilot_mod.init_pilot, in_axes=(0, 0, None, None))(
@@ -186,6 +194,34 @@ def test_select_from_library_prefers_working_controller(suite_params):
         n_samples=4,
     )
     assert bool(ps2.has_theta.all())
+    np.testing.assert_allclose(
+        np.asarray(ps2.theta), np.tile(np.asarray(good), (n, 1)), atol=1e-6
+    )
+
+
+def test_select_from_library_oracle_override(nominal_setup):
+    """The --oracle_* probe path: handing select_from_library the episode's
+    TRUE (body, draw, fuel) replaces posterior sampling; on the easy
+    good-vs-unstable pair it must still pick the working controller, and
+    noise-aware scoring (obs_noise_std > 0) must not flip the ranking."""
+    params, sched = nominal_setup
+    n = 2
+    keys = jax.random.split(jax.random.PRNGKey(31), n)
+    states, obs0 = jax.vmap(rocket_env.reset, in_axes=(0, None))(keys, params)
+    ps = jax.vmap(pilot_mod.init_pilot, in_axes=(0, 0, None, None))(
+        jax.random.split(jax.random.PRNGKey(32), n), obs0, params,
+        pilot_mod.PilotConfig(particles=16),
+    )
+    good = cem_mod.theta_for_states(sched, states)[0]
+    bad = -10.0 * jnp.ones_like(good)
+    library = jnp.stack([bad, good])
+    score_cfg = cem_mod.CEMConfig(
+        horizon=150, alive_weight=0.1, obs_noise_std=0.02
+    )
+    ps2 = pilot_mod.select_from_library(
+        jax.random.PRNGKey(33), ps, library, params, score_cfg, states,
+        n_samples=2, bodies=states.body, drs=states.dr, fuel=states.fuel,
+    )
     np.testing.assert_allclose(
         np.asarray(ps2.theta), np.tile(np.asarray(good), (n, 1)), atol=1e-6
     )

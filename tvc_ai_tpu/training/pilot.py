@@ -510,6 +510,9 @@ def select_from_library(
     score_cfg: cem_mod.CEMConfig,   # horizon/shaping for the scoring rollouts
     template: EnvState,             # (N,) env-state template for shapes only
     n_samples: int = 8,
+    bodies: RigidBodyState | None = None,  # PROBE: (N,) true body states
+    drs: DomainParams | None = None,       # PROBE: (N,) true draws
+    fuel: jnp.ndarray | None = None,       # PROBE: (N,) true fuel
 ) -> PilotState:
     """Bayes-adaptive controller selection: score every library member on
     ``n_samples`` posterior PARTICLES (each a joint state+draw hypothesis —
@@ -522,7 +525,13 @@ def select_from_library(
     time, cheap enough to re-select several times per episode. The library
     comes from scripts/build_ctrl_library.py (greedy set cover of the
     per-draw CEM oracle's solved set; library[0] = best single coverage,
-    the pre-identification strategy)."""
+    the pre-identification strategy).
+
+    ``bodies``/``drs``/``fuel`` are PRIVILEGED probe overrides (see
+    scripts/pilot_eval.py --oracle_*): when given, the corresponding
+    hypothesis is the evaluated episode's truth (tiled across the sample
+    axis) instead of a posterior sample — isolating how much of a
+    selection failure is estimation error vs the selection mechanism."""
     n = ps.has_theta.shape[0]
     k = library.shape[0]
     s = n_samples
@@ -538,8 +547,13 @@ def select_from_library(
     take = lambda x: jnp.take_along_axis(  # noqa: E731
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
     )
-    bodies = jax.tree.map(take, ps.filt.bodies)
-    drs = jax.tree.map(take, ps.filt.dr)
+    tile = lambda x: jnp.broadcast_to(  # noqa: E731
+        x[:, None], (n, s) + x.shape[1:]
+    )
+    bodies = (jax.tree.map(take, ps.filt.bodies) if bodies is None
+              else jax.tree.map(tile, bodies))
+    drs = (jax.tree.map(take, ps.filt.dr) if drs is None
+           else jax.tree.map(tile, drs))
 
     # tile to (N·S·K,) rollouts: env slowest, sample middle, member fastest
     def rep(x):
@@ -552,10 +566,11 @@ def select_from_library(
     texp = jax.tree.map(
         lambda x: jnp.repeat(x, s * k, axis=0), template
     )
+    fuel_src = ps.filt.fuel if fuel is None else fuel
     states = texp.replace(
         body=rbodies,
         dr=rdrs,
-        fuel=jnp.repeat(ps.filt.fuel, s * k),
+        fuel=jnp.repeat(fuel_src, s * k),
         step_count=jnp.zeros(r, jnp.int32),
         mission_success=jnp.zeros(r, bool),
         success_count=jnp.zeros(r, jnp.int32),
