@@ -227,6 +227,57 @@ def test_sensor_noise_uniform_randomizes_per_episode():
     assert np.allclose(stds_fixed, 0.02)
 
 
+def test_feasible_only_sampling():
+    """feasible_only: every drawn plant admits SOME controller that can hold
+    the strict success window — no climb-away (thrust > weight), no
+    friction-pinning, no equilibrium tilt past the limit (the measured
+    controller-independent infeasible classes, RESULTS.md r4). The
+    unfiltered suite box is ~56% infeasible, so 256 clean draws is a
+    decisive check (P(all feasible unfiltered) ~ 0.44^256)."""
+    import jax
+    import numpy as np
+
+    from tvc_ai_tpu.env.randomization import (
+        feasible_draw_mask,
+        sample_domain_params,
+    )
+    from tvc_ai_tpu.env.types import RandomizationConfig
+    from tvc_ai_tpu.physics.types import RocketParams
+
+    rocket = RocketParams()
+    box = dict(
+        mass_variation=jnp.float32(0.3),
+        thrust_variation=jnp.float32(0.2),
+        cg_offset_max=jnp.float32(0.05),
+        wind_max=jnp.float32(3.0),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 256)
+
+    cfg = RandomizationConfig(enabled=True, feasible_only=True, **box)
+    dr = jax.vmap(lambda k: sample_domain_params(k, rocket, cfg))(keys)
+    ok = np.asarray(
+        feasible_draw_mask(
+            dr.mass, dr.thrust_scale, dr.cg_offset, rocket,
+            cfg.feasible_tilt_limit,
+        )
+    )
+    assert ok.all(), f"{(~ok).sum()} infeasible draws leaked through"
+    # still actually randomized (not collapsed onto the nominal fallback)
+    assert np.asarray(dr.mass).std() > 0.05
+    assert np.abs(np.asarray(dr.cg_offset)[:, :2]).max() > 0.02
+
+    # the unfiltered box draws infeasible plants (the thing being fixed)
+    cfg_raw = RandomizationConfig(enabled=True, **box)
+    dr_raw = jax.vmap(lambda k: sample_domain_params(k, rocket, cfg_raw))(keys)
+    ok_raw = np.asarray(
+        feasible_draw_mask(
+            dr_raw.mass, dr_raw.thrust_scale, dr_raw.cg_offset, rocket,
+            cfg.feasible_tilt_limit,
+        )
+    )
+    assert 0.2 < ok_raw.mean() < 0.8  # ~44% measured
+
+
 def test_progress_rate_randomization():
     """progress_rate ~ U[min, max] scales the progress observation's slope so
     evaluation horizons the policy never trained on stay in-distribution

@@ -87,6 +87,10 @@ def build_env_params(
         actuator_delay=dr.actuator_delay,
         sensor_dropout_enabled=dr.sensor_dropout_prob > 0.0,
         sensor_dropout_prob=jnp.float32(dr.sensor_dropout_prob),
+        feasible_only=dr.feasible_only,
+        feasible_tries=dr.feasible_tries,
+        # the filter tests against the run's own success tilt limit
+        feasible_tilt_limit=jnp.float32(cfg.mission_success.max_tilt_angle),
     )
     ms = cfg.mission_success
     success = SuccessConfig(

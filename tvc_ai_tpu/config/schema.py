@@ -484,6 +484,13 @@ class DomainRandomizationConfig:
     # per-step IMU hold-last fault rate (ref GUIDE/Config-guide/
     # CONFIG_GUIDE.md:93-96 sensor_dropout_prob, unimplemented there)
     sensor_dropout_prob: float = 0.0
+    # feasibility-filtered sampling: reject draws on which no controller
+    # can satisfy the strict success window (climb-away / friction-pinned /
+    # equilibrium-tilt classes — env/types.py RandomizationConfig and
+    # env/randomization.py::feasible_draw_mask). Training-distribution
+    # engineering only; the eval suites stay official.
+    feasible_only: bool = False
+    feasible_tries: int = 8
 
 
 @dataclass

@@ -150,6 +150,27 @@ class RandomizationConfig:
     # config/config.yaml:340-349 / GUIDE fault-injection docs; static flag so
     # the no-delay path compiles away entirely)
     actuator_delay: bool = struct.field(pytree_node=False, default=False)
+    # feasibility-filtered sampling (round 4): reject draws on which NO
+    # controller can satisfy the strict success window. The measured
+    # infeasible classes (RESULTS.md r4 suite-ceiling section) are
+    # controller-independent physics: climb-away (fixed thrust exceeds
+    # weight — no throttle exists, the 2 m altitude bound cannot hold),
+    # friction-pinned (stiction exceeds max lateral thrust — thrust applies
+    # AT the contact, zero torque authority), and equilibrium tilt
+    # tan θ* = 2·T·d/(m·g_eff) beyond the success tilt limit. Training on
+    # unwinnable episodes is pure noise pressure on the policy (the r3
+    # cg-campaign failure mode); this keeps the TRAINING distribution
+    # inside the physics ceiling while the eval suites stay official.
+    # Mechanism: feasible_tries candidate draws per reset, first feasible
+    # wins; if all are infeasible (prob ~0.56^8 ≈ 1 % on the suite box)
+    # the episode draws the nominal plant, which is always feasible.
+    feasible_only: bool = struct.field(pytree_node=False, default=False)
+    feasible_tries: int = struct.field(pytree_node=False, default=8)
+    # the success window's tilt limit the filter tests against (kept in
+    # sync with SuccessConfig.max_tilt_angle by the schema wiring)
+    feasible_tilt_limit: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.087)
+    )
 
 
 @struct.dataclass
