@@ -86,6 +86,77 @@ def test_curriculum_state_roundtrip():
     assert list(cm2.eval_window) == []
 
 
+def test_curriculum_watchdog_flags_unreachable_gate():
+    """The r4c failure class: a stage threshold far above what the policy
+    ever demonstrates must raise the watchdog after `watchdog_evals` stage
+    evals — instead of silently pinning the campaign at stage 0 for its
+    whole budget (80M steps in r4c)."""
+    import dataclasses
+
+    cfg = FrameworkConfig()
+    cfg.curriculum = dataclasses.replace(
+        cfg.curriculum, watchdog_evals=6, watchdog_fraction=0.5
+    )
+    cfg.curriculum.stages[0].success_threshold = 0.8
+    cm = CurriculumManager(cfg)
+    # oscillating evals topping out at 0.3 < 0.5 * 0.8
+    for v in [0.0, 0.3, 0.05, 0.2, 0.1]:
+        assert cm.update_eval(v) is False
+        assert cm.watchdog_alert() is None  # not enough evidence yet
+    assert cm.update_eval(0.25) is False
+    alert = cm.watchdog_alert()
+    assert alert is not None and "unreachable" in alert
+    # one eval demonstrating half the threshold clears the alert (the gate
+    # is merely slow, not unreachable)
+    cm.update_eval(0.45)
+    assert cm.watchdog_alert() is None
+    # promotion resets the counters: fresh stage, fresh evidence
+    cm.advance_stage()
+    assert cm.evals_in_stage == 0 and cm.stage_eval_max == 0.0
+    assert cm.watchdog_alert() is None
+
+
+def test_curriculum_max_stage_steps_forces_promotion():
+    """Opt-in bounded stage budget: when a stage consumes max_stage_steps
+    env steps without clearing its gate, the next eval force-promotes (and
+    records it as forced) rather than burning the rest of the campaign."""
+    import dataclasses
+
+    cfg = FrameworkConfig()
+    cfg.curriculum = dataclasses.replace(
+        cfg.curriculum, max_stage_steps=1_000_000, min_stage_steps=0
+    )
+    cfg.curriculum.stages[0].success_threshold = 0.99  # unreachable
+    cm = CurriculumManager(cfg)
+    cm.update(episodes_finished=10, success_rate=0.0, env_steps=999_999)
+    assert cm.update_eval(0.0) is False  # budget not yet exhausted
+    assert cm.stage_idx == 0
+    cm.update(episodes_finished=10, success_rate=0.0, env_steps=1)
+    assert cm.update_eval(0.0) is True  # forced
+    assert cm.stage_idx == 1
+    assert cm.history[-1]["forced"] is True
+    assert cm.history[-1]["threshold"] == 0.99
+    # default (0) disables the budget entirely: never force-promotes
+    cfg2 = FrameworkConfig()
+    cfg2.curriculum.stages[0].success_threshold = 0.99
+    cm2 = CurriculumManager(cfg2)
+    cm2.update(episodes_finished=10, success_rate=0.0, env_steps=10**9)
+    assert cm2.update_eval(0.0) is False
+    assert cm2.stage_idx == 0
+
+
+def test_curriculum_watchdog_state_resets_on_load():
+    cfg = FrameworkConfig()
+    cm = CurriculumManager(cfg)
+    cm.update_eval(0.1)
+    state = cm.state_dict()
+    assert state["evals_in_stage"] == 1
+    cm2 = CurriculumManager(cfg)
+    cm2.load_state_dict(state)
+    # watchdog evidence is about the OLD campaign's gate — dropped on load
+    assert cm2.evals_in_stage == 0 and cm2.stage_eval_max == 0.0
+
+
 # ---------------------------------------------------------------- hacking
 
 

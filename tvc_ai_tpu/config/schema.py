@@ -335,6 +335,19 @@ class CurriculumConfig:
     # sails through every stage in a few evals and lands on full difficulty
     # unprepared (measured: all stages promoted in 90 s, then collapse)
     min_stage_steps: int = 0
+    # optional per-stage step budget (0 = disabled): when a stage has
+    # consumed this many env steps without clearing its promotion gate, the
+    # curriculum force-promotes with a prominent log line. Two campaigns
+    # (r3's gamed gate, r4c's unreachable calm threshold) silently burned
+    # their entire budget pinned at one stage; a bounded stage budget makes
+    # the failure mode "trained the later stages anyway" instead of "never
+    # saw them".
+    max_stage_steps: int = 0
+    # promotion-gate watchdog: warn when `watchdog_evals` consecutive stage
+    # evals leave the stage-eval max below `watchdog_fraction` of the
+    # stage's success threshold — the unreachable-threshold signature.
+    watchdog_evals: int = 8
+    watchdog_fraction: float = 0.5
     stages: list[CurriculumStage] = field(default_factory=default_stages)
 
 

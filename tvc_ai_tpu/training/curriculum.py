@@ -38,6 +38,10 @@ class CurriculumManager:
         self.eval_window: deque[float] = deque(
             maxlen=max(3, self.cur.stability_window // 10)
         )
+        # watchdog state: stage evals seen / best stage-eval score since
+        # entering the current stage (survives the rolling window's maxlen)
+        self.evals_in_stage = 0
+        self.stage_eval_max = 0.0
         self.history: list[dict] = []
 
     # ------------------------------------------------------------ queries
@@ -105,17 +109,54 @@ class CurriculumManager:
         high-LR artifacts, not inability."""
         if not self.enabled or self.finished:
             return False
+        # bounded stage budget (max_stage_steps): force-promote rather than
+        # silently burn the campaign on one unreachable gate (the r4c
+        # failure: calm-stage threshold 0.8 vs a measured stage-eval max of
+        # 59% → 80M steps pinned at stage 0). Checked before the dwell gate
+        # — a stage that exhausted its budget is past any dwell by design.
+        if (
+            self.cur.max_stage_steps > 0
+            and self.steps_in_stage >= self.cur.max_stage_steps
+        ):
+            self.advance_stage(forced=True)
+            return True
         if self.steps_in_stage < self.cur.min_stage_steps:
             # dwell: must actually train at this difficulty; evals from the
             # dwell period are NOT appended, else the first post-dwell eval
             # could promote on stale pre-dwell evidence
             return False
         self.eval_window.append(float(eval_success_rate))
+        self.evals_in_stage += 1
+        self.stage_eval_max = max(self.stage_eval_max, float(eval_success_rate))
         if len(self.eval_window) >= 3:
             if max(self.eval_window) >= self.stage.success_threshold:
                 self.advance_stage()
                 return True
         return False
+
+    def watchdog_alert(self) -> str | None:
+        """Unreachable-gate detector: after ``watchdog_evals`` post-dwell
+        stage evals, if the best stage-eval score is still below
+        ``watchdog_fraction`` of the stage threshold, the gate is almost
+        certainly miscalibrated (stage-eval oscillation at training LR
+        spans 0↔max within a few evals, so the running max IS the
+        capability estimate). Returns a warning string, or None."""
+        if not self.enabled or self.finished:
+            return None
+        if self.evals_in_stage < self.cur.watchdog_evals:
+            return None
+        bar = self.cur.watchdog_fraction * self.stage.success_threshold
+        if self.stage_eval_max >= bar:
+            return None
+        return (
+            f"promotion-gate watchdog: stage {self.stage_idx} "
+            f"({self.stage.name}) has had {self.evals_in_stage} stage evals "
+            f"with max {self.stage_eval_max:.3f} — far below its "
+            f"success_threshold {self.stage.success_threshold:.2f} "
+            f"(< {self.cur.watchdog_fraction:.0%} of it). The gate looks "
+            f"unreachable; the campaign may burn its budget at this stage "
+            f"(set curriculum.max_stage_steps or lower the threshold)."
+        )
 
     def should_advance_stage(self) -> bool:
         if self.finished:
@@ -136,7 +177,7 @@ class CurriculumManager:
         # budgets sized for single-env training elapse ~512x faster)
         return rolling >= stage.success_threshold
 
-    def advance_stage(self) -> None:
+    def advance_stage(self, forced: bool = False) -> None:
         self.history.append(
             {
                 "stage": self.stage.name,
@@ -146,6 +187,9 @@ class CurriculumManager:
                     if self.success_window
                     else 0.0
                 ),
+                "stage_eval_max": self.stage_eval_max,
+                "threshold": self.stage.success_threshold,
+                "forced": forced,
             }
         )
         self.stage_idx += 1
@@ -153,6 +197,8 @@ class CurriculumManager:
         self.steps_in_stage = 0
         self.success_window.clear()
         self.eval_window.clear()
+        self.evals_in_stage = 0
+        self.stage_eval_max = 0.0
 
     # ------------------------------------------------------------ persistence
     def state_dict(self) -> dict:
@@ -162,6 +208,8 @@ class CurriculumManager:
             "steps_in_stage": self.steps_in_stage,
             "success_window": list(self.success_window),
             "eval_window": list(self.eval_window),
+            "evals_in_stage": self.evals_in_stage,
+            "stage_eval_max": self.stage_eval_max,
             "history": self.history,
         }
 
@@ -178,6 +226,10 @@ class CurriculumManager:
         self.eval_window = deque(
             [], maxlen=max(3, self.cur.stability_window // 10)
         )
+        # watchdog counters reset with the windows (same rationale: they are
+        # evidence about the OLD campaign's gate, not the resumed one's)
+        self.evals_in_stage = 0
+        self.stage_eval_max = 0.0
         self.history = list(d.get("history", []))
 
     def save_curriculum_data(self, path) -> None:

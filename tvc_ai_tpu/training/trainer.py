@@ -490,6 +490,14 @@ class Trainer:
             "stop_reason": stop_reason,
             "best_metric": self.best_metric,
             "curriculum_stage": self.curriculum.stage_idx,
+            # anomaly flag: a curriculum that never left its current stage
+            # despite a miscalibrated-looking gate (see watchdog_alert) —
+            # surfaced here so a burned campaign is visible in one field
+            # instead of requiring log archaeology (r4c lesson)
+            "curriculum_stalled": self.curriculum.watchdog_alert() is not None,
+            "curriculum_forced_promotions": sum(
+                1 for h in self.curriculum.history if h.get("forced")
+            ),
             "hacking_score": self.hacking.detect_hacking().score,
             "stage_timing": self.timer.report(),
             **final_eval,
@@ -666,11 +674,31 @@ class Trainer:
             stage = self.curriculum.get_environment_config()
             self.env_params = build_env_params(self.cfg, stage)
             self.stage_eval_env_params = self._build_stage_eval_params()
-            self.logger.info(
-                "curriculum advanced to stage %d (%s) [eval-driven]",
-                self.curriculum.stage_idx,
-                stage.name if stage else "graduated",
+            forced = bool(
+                self.curriculum.history
+                and self.curriculum.history[-1].get("forced")
             )
+            if forced:
+                self.logger.warning(
+                    "curriculum FORCE-promoted to stage %d (%s): stage "
+                    "budget max_stage_steps=%s exhausted without clearing "
+                    "the gate (stage-eval max %.3f vs threshold %.2f)",
+                    self.curriculum.stage_idx,
+                    stage.name if stage else "graduated",
+                    f"{self.cfg.curriculum.max_stage_steps:,}",
+                    self.curriculum.history[-1].get("stage_eval_max", 0.0),
+                    self.curriculum.history[-1].get("threshold", float("nan")),
+                )
+            else:
+                self.logger.info(
+                    "curriculum advanced to stage %d (%s) [eval-driven]",
+                    self.curriculum.stage_idx,
+                    stage.name if stage else "graduated",
+                )
+        else:
+            alert = self.curriculum.watchdog_alert()
+            if alert:
+                self.logger.warning(alert)
             # the stage-eval tiebreak distribution changes at every
             # promotion — a high tiebreak earned on an easy early
             # stage must not permanently block capturing a strictly
