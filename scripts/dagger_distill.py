@@ -66,6 +66,19 @@ def main() -> int:
                         "schedule init (score - w*|theta-theta0|^2) so "
                         "similar plants get similar labels across "
                         "iterations")
+    p.add_argument("--cem_obs_noise", type=float, default=0.0,
+                   help="refine teachers under IMU noise of this sigma "
+                        "(cem.CEMConfig.obs_noise_std): labels come from "
+                        "NOISE-ROBUST controllers instead of clean-feedback "
+                        "knife-edge winners (r4 measured clean-refined "
+                        "theta collapsing 11%% -> 0.8%% under the suite's "
+                        "sigma=0.02 readings). 0.02 = the suite condition.")
+    p.add_argument("--cem_alive", type=float, default=0.0,
+                   help="survival term in the CEM score "
+                        "(cem.CEMConfig.alive_weight): among controllers "
+                        "with equal streaks prefer the longest survivor — "
+                        "suppresses the argmax winner's curse under noisy "
+                        "scoring")
     p.add_argument("--eval_episodes", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -187,6 +200,7 @@ def main() -> int:
         cem_cfg = cem_mod.CEMConfig(
             pop=args.cem_pop, generations=args.cem_gens,
             horizon=args.cem_horizon, anchor_weight=args.cem_anchor,
+            obs_noise_std=args.cem_obs_noise, alive_weight=args.cem_alive,
         )
         state = dagger.init_cem_state(
             template.actor_params, opt, dcfg, obs_dim, act_dim

@@ -41,6 +41,7 @@ def test_fused_train_iteration():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_update_interval_chunked_cadence():
     """update_interval=K fires exactly rollout/K update events (each of
     updates_per_step gradient steps) and still learns; K must divide
@@ -77,6 +78,7 @@ def test_update_interval_chunked_cadence():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_fused_loop_with_safety_and_curiosity():
     """Enhanced-env extensions fused into the train program."""
     env_params = EnvParams()
@@ -98,6 +100,7 @@ def test_fused_loop_with_safety_and_curiosity():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_history_conditioned_loop():
     """history_len=3: the policy sees stacked observations; the window
     shifts each step and refills on episode reset."""
@@ -235,6 +238,7 @@ def test_survival_normalized_success_bonus():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_hierarchical_training_mode():
     """use_hierarchical: SAC low level on [obs || goal-onehot]; high level
     takes REINFORCE steps from finished-episode returns (the training path

@@ -98,6 +98,7 @@ def test_init_filter_reconstructs_state_blind(suite_params):
     assert float(jnp.linalg.norm(body.omega - state.body.omega)) < 0.15
 
 
+@pytest.mark.slow
 def test_filter_identifies_cg_from_observations(filter_rollout):
     """Median posterior cg error shrinks well below the prior spread within
     30 control steps (0.6 s) — the identification race the r4 students
@@ -168,6 +169,7 @@ def nominal_setup(suite_params):
     return params, sched
 
 
+@pytest.mark.slow
 def test_select_from_library_prefers_working_controller(nominal_setup):
     """Posterior-scored selection must pick a plausible controller over a
     deliberately unstable one (huge wrong-sign gains). Run on the NOMINAL
@@ -199,6 +201,7 @@ def test_select_from_library_prefers_working_controller(nominal_setup):
     )
 
 
+@pytest.mark.slow
 def test_select_from_library_oracle_override(nominal_setup):
     """The --oracle_* probe path: handing select_from_library the episode's
     TRUE (body, draw, fuel) replaces posterior sampling; on the easy

@@ -134,6 +134,7 @@ def test_replay_rejects_bad_capacity():
         replay_mod.add_batch(buf, {"obs": jnp.zeros((4, 3))})
 
 
+@pytest.mark.slow
 def test_transformer_architecture_option():
     """SAC with the transformer policy (network.architecture_type parity)."""
     cfg = sac_mod.SACConfig(

@@ -23,4 +23,24 @@ Layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the fused train program costs ~10-15 min
+# to compile cold on the remote TPU backend; with the cache, a process
+# re-running an already-seen program shape starts in seconds. Opt out with
+# TVC_NO_COMPILE_CACHE=1 (e.g. when diagnosing compiler issues).
+if not _os.environ.get("TVC_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "TVC_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "tvc_jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
 from tvc_ai_tpu import physics, env  # noqa: F401

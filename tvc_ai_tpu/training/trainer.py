@@ -200,6 +200,8 @@ class Trainer:
         # ---- state
         self.timer = StageTimer()
         self.carry = self._init_fn(self._next_key())
+        if cfg.training.warm_start_actor:
+            self._warm_start_actor(cfg.training.warm_start_actor)
         self.stability.register_initial_params(self.carry.agent.actor_params)
         if cfg.training.demo_seeding.enabled:
             # also runs on resume: the restored buffers overwrite the seeded
@@ -323,6 +325,42 @@ class Trainer:
             float(demo_params.randomization.cg_offset_max),
         )
         self.logger.log_metrics(0, {f"demo/{k}": v for k, v in stats.items()})
+
+    def _warm_start_actor(self, path: str) -> None:
+        """Replace the freshly-initialized actor (and its EMA shadow) with a
+        distilled student's parameters (scripts/dagger_distill.py /
+        scripts/theta_distill.py msgpack artifact: ``{"state": SACState}``).
+        Critic, targets, and optimizers stay fresh — the critic must learn
+        the student's value landscape from data, and a stale Adam state
+        would immediately destroy the distilled weights."""
+        from flax import serialization
+
+        if self.mesh is not None:
+            raise ValueError(
+                "training.warm_start_actor is single-device for now"
+            )
+        raw = serialization.msgpack_restore(Path(path).read_bytes())
+        student = raw["state"]["actor_params"]
+        current = serialization.to_state_dict(self.carry.agent.actor_params)
+
+        def shapes(tree):
+            return jax.tree.map(lambda a: tuple(np.shape(a)), tree)
+
+        if shapes(student) != shapes(current):
+            raise ValueError(
+                f"warm_start_actor {path!r}: actor shape mismatch — the "
+                f"student was trained with a different view "
+                f"(obs_dim × history) or hidden_dims than this config. "
+                f"student={shapes(student)} vs trainer={shapes(current)}"
+            )
+        actor_params = serialization.from_state_dict(
+            self.carry.agent.actor_params, student
+        )
+        agent = self.carry.agent.replace(actor_params=actor_params)
+        if agent.ema_actor_params is not None:
+            agent = agent.replace(ema_actor_params=actor_params)
+        self.carry = self.carry.replace(agent=agent)
+        self.logger.info("actor warm-started from %s", path)
 
     def _host_state(self) -> dict:
         return {
