@@ -44,6 +44,12 @@ def main() -> int:
     p.add_argument("--cem_gens", type=int, default=25)
     p.add_argument("--cem_horizon", type=int, default=700)
     p.add_argument("--cem_anchor", type=float, default=0.0)
+    p.add_argument("--cem_obs_noise", type=float, default=0.0,
+                   help="refine teachers under IMU noise (CEMConfig."
+                        "obs_noise_std): theta labels come from NOISE-"
+                        "ROBUST controllers (0.02 = suite condition)")
+    p.add_argument("--cem_alive", type=float, default=0.0,
+                   help="survival term in the CEM score (alive_weight)")
     p.add_argument("--eval_episodes", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -116,6 +122,7 @@ def main() -> int:
     cem_cfg = cem_mod.CEMConfig(
         pop=args.cem_pop, generations=args.cem_gens,
         horizon=args.cem_horizon, anchor_weight=args.cem_anchor,
+        obs_noise_std=args.cem_obs_noise, alive_weight=args.cem_alive,
     )
     if args.lr_cosine:
         opt = optax.adam(optax.cosine_decay_schedule(

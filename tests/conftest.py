@@ -9,6 +9,12 @@ first jax import in the session.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the persistent compilation cache (tvc_ai_tpu/__init__.py) exists for the
+# expensive remote-TPU compiles; under the CPU test platform the XLA:CPU
+# AOT loader spams machine-feature-mismatch errors (prefer-no-scatter
+# pseudo-features) on every cached reload and warns about SIGILL — keep
+# unit tests on fresh in-process compiles
+os.environ.setdefault("TVC_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -240,6 +240,63 @@ class TestEvalOutcomeGating:
 
 
 @pytest.mark.slow
+def test_warm_start_actor(tmp_path):
+    """training.warm_start_actor: the trainer's actor (and EMA shadow)
+    start from a distilled-student msgpack; critic/optimizers stay fresh;
+    a shape-mismatched artifact fails loudly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from tvc_ai_tpu.agents import sac as sac_mod
+    from tvc_ai_tpu.training.trainer import Trainer
+
+    cfg = tiny_cfg(tmp_path, total=256)
+    cfg.hardware.mesh_devices = 1  # warm start is single-device
+    cfg.algorithms.sac.ema_decay = 0.999  # exercise the EMA copy too
+    # build a fake student artifact with the SAME architecture
+    scfg = sac_mod.SACConfig(hidden_dims=(16, 16), ema_decay=0.999)
+    template = sac_mod.init(jax.random.PRNGKey(123), 10, 2, scfg)
+    # make its actor recognizably different from any fresh init
+    marked = jax.tree.map(
+        lambda a: jnp.full_like(a, 0.125), template.actor_params
+    )
+    artifact = template.replace(actor_params=marked)
+    path = tmp_path / "student.msgpack"
+    path.write_bytes(
+        serialization.msgpack_serialize(
+            {"state": serialization.to_state_dict(artifact)}
+        )
+    )
+    cfg.training.warm_start_actor = str(path)
+    t = Trainer(cfg, output_dir=tmp_path / "ws")
+    got = jax.tree.leaves(t.carry.agent.actor_params)
+    assert all(np.allclose(np.asarray(g), 0.125) for g in got)
+    if t.carry.agent.ema_actor_params is not None:
+        ema = jax.tree.leaves(t.carry.agent.ema_actor_params)
+        assert all(np.allclose(np.asarray(g), 0.125) for g in ema)
+    # critic must NOT be the artifact's (fresh init)
+    crit = jax.tree.leaves(t.carry.agent.critic_params)
+    assert not all(np.allclose(np.asarray(c), 0.125) for c in crit)
+
+    # mismatched architecture → loud failure
+    scfg2 = sac_mod.SACConfig(hidden_dims=(8, 8))
+    bad = sac_mod.init(jax.random.PRNGKey(1), 10, 2, scfg2)
+    bad_path = tmp_path / "bad.msgpack"
+    bad_path.write_bytes(
+        serialization.msgpack_serialize(
+            {"state": serialization.to_state_dict(bad)}
+        )
+    )
+    cfg2 = tiny_cfg(tmp_path, total=256)
+    cfg2.hardware.mesh_devices = 1
+    cfg2.training.warm_start_actor = str(bad_path)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        Trainer(cfg2, output_dir=tmp_path / "ws_bad")
+
+
+@pytest.mark.slow
 def test_demo_seeding_fills_replay(tmp_path):
     """training.demo_seeding: the replay buffer holds LQR demonstration
     transitions (in the policy's own obs space, drift channels included)

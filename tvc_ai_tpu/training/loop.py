@@ -269,6 +269,7 @@ def make_train_iteration(
     sac_cfg: sac_mod.SACConfig,
     loop_cfg: TrainLoopConfig,
     axis_name: str | None = None,
+    act_fn=None,
 ):
     """Build the jittable ``(carry, env_params) -> (carry, metrics)`` iteration.
 
@@ -277,7 +278,20 @@ def make_train_iteration(
     the cached compilation. ``axis_name`` enables data-parallel gradient
     pmean when the iteration is wrapped in ``shard_map`` over a device mesh
     (see ``parallel``).
+
+    ``act_fn(agent, policy_input, key) -> actions`` overrides the rollout's
+    act path (default: ``sac.select_action``). The per-step actor forward
+    inside the sequential scan is the measured bound on learning-on
+    throughput (RESULTS r4 MFU sweep: 21.0M steps/s rollout ceiling vs 84M
+    env-only), so ``scripts/bench_act_path.py`` uses this hook to isolate
+    its cost, and a cheaper production act path can slot in here without
+    touching the loop.
     """
+    if act_fn is None:
+        def act_fn(agent, policy_input, key):
+            return sac_mod.select_action(
+                agent, policy_input, key, sac_cfg, loop_cfg.action_dim
+            )
     def batched_step(states, actions, env_params):
         return rocket_env.batched_step_autoreset(
             states, actions, env_params,
@@ -302,9 +316,7 @@ def make_train_iteration(
             if loop_cfg.use_hierarchical
             else carry.obs
         )
-        actions = sac_mod.select_action(
-            carry.agent, policy_input, k_act, sac_cfg, loop_cfg.action_dim
-        )
+        actions = act_fn(carry.agent, policy_input, k_act)
         # the CURRENT physical frame (with history stacking the newest obs
         # sits at the END of the [oldest..newest] window)
         cur_frame = (

@@ -142,6 +142,12 @@ class Trainer:
             robust_cfg.env.domain_randomization.sensor_noise_enabled = (
                 cfg.training.eval_sensor_noise
             )
+            # feasibility filtering is a TRAINING-distribution device; the
+            # robust eval drives best-checkpoint capture and is compared
+            # against the official (unfiltered) suites. r4c measured the
+            # inherited filter inflating eval_robust to 10.9% on a policy
+            # whose official robustness-suite score was 0%.
+            robust_cfg.env.domain_randomization.feasible_only = False
             self.robust_eval_env_params = build_env_params(robust_cfg)
         # third eval: the CURRENT curriculum stage's conditions at dr_prob=1
         # ("stage eval") — the promotion gate. Round 3 measured the nominal
