@@ -80,6 +80,14 @@ def main() -> int:
                         "suppresses the argmax winner's curse under noisy "
                         "scoring")
     p.add_argument("--eval_episodes", type=int, default=128)
+    p.add_argument("--save_every", type=int, default=0,
+                   help="also save student_{iter:03d}.msgpack every N "
+                        "iterations: the in-run best-iter selection is a "
+                        "noisy argmax (r5 measured a 5.1%% in-run best "
+                        "re-evaluating at 2.2%% on 512 fresh episodes); "
+                        "periodic artifacts enable post-hoc reselection "
+                        "with a big independent eval "
+                        "(scripts/select_student.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     # student training distribution: slightly wider than the robustness
@@ -269,13 +277,18 @@ def main() -> int:
         )
         print(line, flush=True)
         history.append({"iter": i, "beta": beta, **metrics, **scores})
-        if scores[primary] > best[primary]:
-            best = {"iter": i, **scores}
+        def _dump(path):
             artifact = template.replace(actor_params=state.actor_params)
             payload = serialization.msgpack_serialize(
                 {"state": serialization.to_state_dict(artifact)}
             )
-            (out / "student.msgpack").write_bytes(payload)
+            path.write_bytes(payload)
+
+        if scores[primary] > best[primary]:
+            best = {"iter": i, **scores}
+            _dump(out / "student.msgpack")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            _dump(out / f"student_{i:03d}.msgpack")
     (out / "history.json").write_text(json.dumps(
         {"best": best, "history": history, "args": vars(args)}, indent=2))
     print(f"best: {best}")
