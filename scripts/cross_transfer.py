@@ -39,6 +39,13 @@ def main() -> int:
     p.add_argument("--cem_pop", type=int, default=64)
     p.add_argument("--cem_gens", type=int, default=25)
     p.add_argument("--cem_horizon", type=int, default=700)
+    p.add_argument("--obs_noise", type=float, default=0.0,
+                   help="IMU-noise sigma inside CEM refinement AND the "
+                        "transfer rollouts (0.02 = suite condition): "
+                        "measures the NOISE-ROBUST transfer matrix — "
+                        "flatter winners may transfer better, moving the "
+                        "blind fixed-strategy bound")
+    p.add_argument("--cem_alive", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -59,7 +66,9 @@ def main() -> int:
     params = _suite_env_params(args.suite)
     sched = demos.design_lqr_schedule(params)
     ccfg = cem_mod.CEMConfig(
-        pop=args.cem_pop, generations=args.cem_gens, horizon=args.cem_horizon
+        pop=args.cem_pop, generations=args.cem_gens,
+        horizon=args.cem_horizon,
+        obs_noise_std=args.obs_noise, alive_weight=args.cem_alive,
     )
 
     n = args.episodes

@@ -119,8 +119,8 @@ def main() -> int:
     (out / f"selection_{args.suite}.json").write_text(
         json.dumps({"rows": rows, "winner": winner}, indent=2)
     )
-    # the confirmed winner becomes the canonical artifact
-    best_path = out / "student_selected.msgpack"
+    # the confirmed winner becomes the canonical per-suite artifact
+    best_path = out / f"student_selected_{args.suite}.msgpack"
     best_path.write_bytes((out / winner["candidate"]).read_bytes())
     print(f"saved {best_path}")
     return 0
