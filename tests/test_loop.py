@@ -237,6 +237,70 @@ def test_survival_normalized_success_bonus():
     assert bonus_scaled == pytest.approx(2.0 * bonus, rel=1e-4)
 
 
+def test_hoisted_chunk_parity_with_per_step_path():
+    """The hoisted-bookkeeping chunk path (update_interval K>1, r5 perf
+    restructure) must produce EXACTLY the per-step path's env trajectory,
+    replay rows (same order), episode counters, and finished-episode ring
+    when the act path is deterministic and updates are gated off — the
+    two programs differ only in where bookkeeping runs, never in what it
+    computes. (PRNG layout differs, so the comparison pins everything
+    except carry.key.)"""
+    import dataclasses
+
+    env_params = EnvParams()
+    sac_cfg = SACConfig(
+        hidden_dims=(16, 16),
+        buffer_size=8 * 8 * 4,      # multiple of K*N and of N
+        learning_starts=10**9,      # updates never execute
+        batch_size=16,
+    )
+    base = loop_mod.TrainLoopConfig(
+        num_envs=8,
+        rollout_steps=8,
+        updates_per_step=1,
+        episode_ring_size=16,
+    )
+
+    def det_act(agent, obs, key):
+        del agent, key
+        # constant non-trivial gimbal so episodes actually evolve/terminate
+        return jnp.tile(jnp.array([[0.3, -0.1]]), (obs.shape[0], 1))
+
+    cfg_k4 = dataclasses.replace(
+        base, update_interval=4, hoist_bookkeeping=True
+    )
+    cfg_k1 = dataclasses.replace(base, update_interval=1)
+    it4 = loop_mod.make_train_iteration(sac_cfg, cfg_k4, act_fn=det_act)
+    it1 = loop_mod.make_train_iteration(sac_cfg, cfg_k1, act_fn=det_act)
+    assert it4.hoisted and not it1.hoisted
+
+    key = jax.random.PRNGKey(3)
+    carry0 = loop_mod.init_carry(key, env_params, sac_cfg, base)
+    c4, m4 = jax.jit(it4)(carry0, env_params)
+    c1, m1 = jax.jit(it1)(carry0, env_params)
+
+    def cmp(a, b, name):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6), name
+
+    cmp(c4.obs, c1.obs, "obs")
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(c4.env_states.body), jax.tree.leaves(c1.env_states.body)
+    ):
+        cmp(leaf_a, leaf_b, "env body state")
+    for k in c4.buffer.data:
+        cmp(c4.buffer.data[k], c1.buffer.data[k], f"buffer[{k}]")
+    assert int(c4.buffer.size) == int(c1.buffer.size) == 8 * 8
+    assert int(c4.buffer.ptr) == int(c1.buffer.ptr)
+    for name in (
+        "episodes", "successes", "ep_return", "ep_length",
+        "return_sum", "length_sum", "ep_ring_return", "ep_ring_length",
+        "ep_ring_success", "ep_ring_seq", "ep_ring_ptr", "env_steps",
+    ):
+        cmp(getattr(c4, name), getattr(c1, name), name)
+    cmp(m4["reward_mean"], m1["reward_mean"], "reward_mean")
+    cmp(m4["done_frac"], m1["done_frac"], "done_frac")
+
+
 @pytest.mark.integration
 @pytest.mark.slow
 def test_hierarchical_training_mode():

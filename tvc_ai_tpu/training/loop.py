@@ -96,6 +96,13 @@ class TrainLoopConfig:
     # 512 envs x 128 steps/iter the ring wraps in ~1M env steps and the
     # demonstrations are gone for the remaining 99% of a campaign. 0 = off.
     demo_fraction: float = 0.0
+    # hoisted-bookkeeping chunk path (r5): None = auto (on when
+    # update_interval>1, plain-SAC features, and the replay capacity is a
+    # multiple of update_interval*num_envs), True/False force it — the
+    # forced switch exists for interleaved A/B benchmarking on the shared
+    # TPU tunnel, whose between-process variance (±40% measured) swamps
+    # any cross-process comparison
+    hoist_bookkeeping: bool | None = None
     curiosity: icm_mod.CuriosityConfig = dataclasses.field(
         default_factory=icm_mod.CuriosityConfig
     )
@@ -298,6 +305,74 @@ def make_train_iteration(
             use_pallas=loop_cfg.use_pallas_physics,
         )
 
+    n_demo = (
+        int(round(sac_cfg.batch_size * loop_cfg.demo_fraction))
+        if loop_cfg.demo_fraction > 0
+        else 0
+    )
+
+    def make_update_fns(buffer, demo_buffer):
+        """(agent, key) -> (agent, metrics) update branches over a given
+        buffer snapshot — shared by the per-step path and the hoisted
+        chunk path (both run them under the same learning_starts cond)."""
+
+        def do_updates(args):
+            agent, key = args
+
+            def one_update(agent_key, _):
+                agent, key = agent_key
+                k_s, k_d, k_u, key = jax.random.split(key, 4)
+                if n_demo > 0:
+                    # DQfD-style mixed batch: the demo buffer is static, so
+                    # the teacher's success trajectories stay in the batch
+                    # distribution for the whole campaign. demo_mask marks
+                    # the demo rows for the actor's Q-filtered BC term
+                    # (sac.SACConfig.bc_weight).
+                    on = replay_mod.sample(
+                        buffer, k_s, sac_cfg.batch_size - n_demo
+                    )
+                    demo = replay_mod.sample(demo_buffer, k_d, n_demo)
+                    batch = {
+                        k: jnp.concatenate([on[k], demo[k]]) for k in on
+                    }
+                    batch["demo_mask"] = jnp.concatenate(
+                        [
+                            jnp.zeros(sac_cfg.batch_size - n_demo, jnp.float32),
+                            jnp.ones(n_demo, jnp.float32),
+                        ]
+                    )
+                else:
+                    batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
+                agent, metrics = sac_mod.update(
+                    agent, batch, k_u, sac_cfg,
+                    policy_obs_dim(loop_cfg), loop_cfg.action_dim, axis_name,
+                )
+                return (agent, key), metrics
+
+            (agent, _), metrics = jax.lax.scan(
+                one_update, (agent, key), None, length=loop_cfg.updates_per_step
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+            if axis_name is not None:
+                # device-mean inside the branch so both cond branches produce
+                # invariant (replicated) metric types under shard_map
+                metrics = jax.lax.pmean(metrics, axis_name)
+            return agent, metrics
+
+        def no_updates(args):
+            agent, _ = args
+            zero = jnp.float32(0.0)
+            out = {
+                "critic_loss": zero, "actor_loss": zero, "alpha_loss": zero,
+                "alpha": jnp.exp(agent.log_alpha), "q1_mean": zero,
+                "q2_mean": zero, "entropy": zero,
+            }
+            if n_demo > 0 and sac_cfg.bc_weight > 0:
+                out["bc_loss"] = zero  # match do_updates' metric pytree
+            return agent, out
+
+        return do_updates, no_updates
+
     def env_and_learn_step(
         carry: TrainCarry, _: Any, env_params: EnvParams, learn: bool = True
     ):
@@ -408,64 +483,7 @@ def make_train_iteration(
         buffer = replay_mod.add_batch(carry.buffer, transitions)
 
         # --- learn (static number of updates; gated on learning_starts)
-        n_demo = (
-            int(round(sac_cfg.batch_size * loop_cfg.demo_fraction))
-            if loop_cfg.demo_fraction > 0
-            else 0
-        )
-
-        def do_updates(args):
-            agent, key = args
-            def one_update(agent_key, _):
-                agent, key = agent_key
-                k_s, k_d, k_u, key = jax.random.split(key, 4)
-                if n_demo > 0:
-                    # DQfD-style mixed batch: the demo buffer is static, so
-                    # the teacher's success trajectories stay in the batch
-                    # distribution for the whole campaign. demo_mask marks
-                    # the demo rows for the actor's Q-filtered BC term
-                    # (sac.SACConfig.bc_weight).
-                    on = replay_mod.sample(
-                        buffer, k_s, sac_cfg.batch_size - n_demo
-                    )
-                    demo = replay_mod.sample(carry.demo_buffer, k_d, n_demo)
-                    batch = {
-                        k: jnp.concatenate([on[k], demo[k]]) for k in on
-                    }
-                    batch["demo_mask"] = jnp.concatenate(
-                        [
-                            jnp.zeros(sac_cfg.batch_size - n_demo, jnp.float32),
-                            jnp.ones(n_demo, jnp.float32),
-                        ]
-                    )
-                else:
-                    batch = replay_mod.sample(buffer, k_s, sac_cfg.batch_size)
-                agent, metrics = sac_mod.update(
-                    agent, batch, k_u, sac_cfg,
-                    policy_obs_dim(loop_cfg), loop_cfg.action_dim, axis_name,
-                )
-                return (agent, key), metrics
-            (agent, _), metrics = jax.lax.scan(
-                one_update, (agent, key), None, length=loop_cfg.updates_per_step
-            )
-            metrics = jax.tree.map(jnp.mean, metrics)
-            if axis_name is not None:
-                # device-mean inside the branch so both cond branches produce
-                # invariant (replicated) metric types under shard_map
-                metrics = jax.lax.pmean(metrics, axis_name)
-            return agent, metrics
-
-        def no_updates(args):
-            agent, _ = args
-            zero = jnp.float32(0.0)
-            out = {
-                "critic_loss": zero, "actor_loss": zero, "alpha_loss": zero,
-                "alpha": jnp.exp(agent.log_alpha), "q1_mean": zero,
-                "q2_mean": zero, "entropy": zero,
-            }
-            if n_demo > 0 and sac_cfg.bc_weight > 0:
-                out["bc_loss"] = zero  # match do_updates' metric pytree
-            return agent, out
+        do_updates, no_updates = make_update_fns(buffer, carry.demo_buffer)
 
         if learn:
             agent, upd_metrics = jax.lax.cond(
@@ -581,9 +599,234 @@ def make_train_iteration(
             f"of update_interval ({K})"
         )
 
+    # ---- hoisted-bookkeeping fast path (r5 perf result). The act-path
+    # probe (scripts/bench_act_path.py) measured the per-step scan BODY —
+    # replay ring writes, episode bookkeeping, full-carry threading — as
+    # the rollout bound, NOT the actor forward (const-action ablation:
+    # 21.1M vs full 20.5M steps/s, while the lean act+env+stack scan runs
+    # 43.0M). Here the K-step chunk scans ONLY (env_states, obs, window)
+    # through the lean body, stacks per-step outputs, and does replay
+    # writes + episode accounting VECTORIZED once per chunk; buffer
+    # content at every update point is identical to the per-step path
+    # (the chunk's K·N rows land before its update samples, exactly like
+    # the sequential writes did), so training semantics are preserved up
+    # to PRNG stream layout. Applies to the plain-SAC path; per-step
+    # learners (ICM/RND) and hierarchical mode keep the per-step body.
+    hoistable = (
+        K > 1
+        and not loop_cfg.use_hierarchical
+        and not loop_cfg.use_curiosity
+        and not loop_cfg.use_rnd
+        and sac_cfg.buffer_size % (K * loop_cfg.num_envs) == 0
+    )
+    # default OFF: interleaved same-process A/B on the real chip measured
+    # the hoisted program consistently ~9-17% SLOWER than the per-step
+    # body (rollout-only 16.4M vs 19.7M, learning-on 11.4M vs 12.4M
+    # median steps/s) — XLA already handles the per-step carry/ring writes
+    # well, and the stacked-ys materialization + outer chunk scan cost
+    # more than the hoist saves (RESULTS r5 act-path section). The path
+    # stays available (bit-exact parity-tested) as an opt-in instrument.
+    hoisted = False
+    if loop_cfg.hoist_bookkeeping:
+        if not hoistable:
+            raise ValueError(
+                "hoist_bookkeeping=True requires update_interval>1, plain "
+                "SAC features, and buffer_size divisible by "
+                "update_interval*num_envs"
+            )
+        hoisted = True
+
+    def hoisted_chunk(carry: TrainCarry, _: Any, env_params: EnvParams):
+        key = carry.key
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_act_all, k_sample_update, k_chain = jax.random.split(key, 3)
+        act_keys = jax.random.split(k_act_all, K)
+        if axis_name is not None:
+            # carry forward the *shared* chain so all shards stay in lockstep
+            (k_next,) = jax.random.split(carry.key, 1)
+        else:
+            k_next = k_chain
+        agent = carry.agent
+
+        def sim_step(sc, k_act):
+            env_states, obs, window = sc
+            actions = act_fn(agent, obs, k_act)
+            cur_frame = (
+                obs[:, -loop_cfg.obs_dim:]
+                if loop_cfg.history_len > 1
+                else obs
+            )
+            if loop_cfg.use_safety_layer:
+                actions, _ = apply_safety(
+                    cur_frame, actions, loop_cfg.safety
+                )
+            env_states, out, next_obs = batched_step(
+                env_states, actions, env_params
+            )
+            if loop_cfg.history_len > 1:
+                done_now = (out.terminated | out.truncated)[:, None, None]
+                shifted = jnp.concatenate(
+                    [window[:, 1:], out.obs[:, None, :]], axis=1
+                )
+                fresh = jnp.tile(
+                    next_obs[:, None, :], (1, loop_cfg.history_len, 1)
+                )
+                window = jnp.where(done_now, fresh, shifted)
+                stacked_next_true = shifted.reshape(shifted.shape[0], -1)
+                next_policy = window.reshape(window.shape[0], -1)
+            else:
+                stacked_next_true = out.obs
+                next_policy = next_obs
+            ys = (
+                obs,
+                actions,
+                out.reward,
+                stacked_next_true,
+                out.terminated,
+                out.truncated,
+                out.mission_success,
+            )
+            return (env_states, next_policy, window), ys
+
+        (env_states, obs, window), ys = jax.lax.scan(
+            sim_step,
+            (carry.env_states, carry.obs, carry.obs_window),
+            act_keys,
+        )
+        (s_obs, s_act, s_rew, s_next, s_term, s_trunc, s_succ) = ys
+        N = loop_cfg.num_envs
+
+        # --- replay: one (K·N)-row time-major block write (identical rows
+        # in identical order to K sequential N-row writes)
+        transitions = {
+            "obs": s_obs.reshape(K * N, -1),
+            "action": s_act.reshape(K * N, -1),
+            "reward": s_rew.reshape(K * N),
+            "next_obs": s_next.reshape(K * N, -1),
+            "done": s_term.reshape(K * N).astype(jnp.float32),
+        }
+        buffer = replay_mod.add_batch(carry.buffer, transitions)
+
+        # --- one update event per chunk (the chunked-cadence contract)
+        do_updates, no_updates = make_update_fns(buffer, carry.demo_buffer)
+        agent, upd_metrics = jax.lax.cond(
+            buffer.size >= sac_cfg.learning_starts,
+            do_updates,
+            no_updates,
+            (agent, k_sample_update),
+        )
+
+        # --- episode accounting, fully vectorized over the chunk: the
+        # reset-accumulate recurrence ep_t = [reset at done] + reward is a
+        # segmented cumsum — computed with cumsum/cummax + one tiny gather
+        # along the K axis instead of a sequential scan (the per-step
+        # (N,)-array recurrences ARE the measured rollout overhead)
+        done_kn = s_term | s_trunc
+        succ_kn = done_kn & s_succ
+        t_idx = jnp.arange(K, dtype=jnp.int32)[:, None]
+        # index of the last done strictly BEFORE step t (-1 = none in chunk)
+        done_t = jnp.where(done_kn, t_idx, jnp.int32(-1))
+        ldb = jnp.concatenate(
+            [
+                jnp.full((1, N), -1, jnp.int32),
+                jax.lax.cummax(done_t, axis=0)[:-1],
+            ],
+            axis=0,
+        )
+        fresh_seg = ldb < 0  # episode started before the chunk
+        cum_rew = jnp.cumsum(s_rew, axis=0)
+        cum_at_ldb = jnp.take_along_axis(
+            cum_rew, jnp.maximum(ldb, 0), axis=0
+        )
+        # running return INCLUDING step t, before any reset at t
+        ring_ret = (
+            jnp.where(fresh_seg, carry.ep_return[None, :], 0.0)
+            + cum_rew
+            - jnp.where(fresh_seg, 0.0, cum_at_ldb)
+        )
+        # running length: ep0·[no done yet] + (t - ldb)
+        ring_len = (
+            jnp.where(fresh_seg, carry.ep_length[None, :], 0)
+            + (t_idx - ldb)
+        ).astype(jnp.float32)
+        ep_return = jnp.where(done_kn[-1], 0.0, ring_ret[-1])
+        ep_length = jnp.where(
+            done_kn[-1], 0, ring_len[-1].astype(jnp.int32)
+        )
+        episodes = carry.episodes + jnp.sum(done_kn.astype(jnp.int32), 0)
+        successes = carry.successes + jnp.sum(succ_kn.astype(jnp.int32), 0)
+        return_sum = carry.return_sum + jnp.sum(
+            jnp.where(done_kn, ring_ret, 0.0), 0
+        )
+        length_sum = carry.length_sum + jnp.sum(
+            jnp.where(done_kn, ring_len, 0.0), 0
+        )
+
+        # --- finished-episode ring: one flat time-major scatter per chunk
+        RK = loop_cfg.episode_ring_size
+        done_flat = done_kn.reshape(K * N)
+        finished_before = jnp.cumsum(done_flat.astype(jnp.int32)) - 1
+        slot = (carry.ep_ring_ptr[0] + finished_before) % RK
+        slot = jnp.where(done_flat, slot, RK)  # RK = OOB → mode="drop"
+        seq = jnp.broadcast_to(
+            carry.env_steps[0] + jnp.arange(K)[:, None], (K, N)
+        ).reshape(K * N)
+        ep_ring_return = carry.ep_ring_return.at[slot].set(
+            ring_ret.reshape(K * N), mode="drop"
+        )
+        ep_ring_length = carry.ep_ring_length.at[slot].set(
+            ring_len.reshape(K * N), mode="drop"
+        )
+        ep_ring_success = carry.ep_ring_success.at[slot].set(
+            succ_kn.reshape(K * N).astype(jnp.float32), mode="drop"
+        )
+        ep_ring_seq = carry.ep_ring_seq.at[slot].set(seq, mode="drop")
+        ep_ring_ptr = (
+            carry.ep_ring_ptr + jnp.sum(done_flat.astype(jnp.int32))
+        ) % RK
+
+        new_carry = carry.replace(
+            env_states=env_states,
+            obs=obs,
+            agent=agent,
+            buffer=buffer,
+            key=k_next,
+            obs_window=window,
+            env_steps=carry.env_steps + K,
+            episodes=episodes,
+            successes=successes,
+            ep_return=ep_return,
+            ep_length=ep_length,
+            return_sum=return_sum,
+            length_sum=length_sum,
+            ep_ring_return=ep_ring_return,
+            ep_ring_length=ep_ring_length,
+            ep_ring_success=ep_ring_success,
+            ep_ring_seq=ep_ring_seq,
+            ep_ring_ptr=ep_ring_ptr,
+        )
+        reward_mean = jnp.mean(s_rew)
+        done_frac = jnp.mean(done_kn.astype(jnp.float32))
+        if axis_name is not None:
+            reward_mean = jax.lax.pmean(reward_mean, axis_name)
+            done_frac = jax.lax.pmean(done_frac, axis_name)
+        metrics = dict(
+            upd_metrics, reward_mean=reward_mean, done_frac=done_frac
+        )
+        return new_carry, metrics
+
     def train_iteration(carry: TrainCarry, env_params: EnvParams):
         iter_start = carry.env_steps[0]
-        if K <= 1:
+        if hoisted:
+            carry, metrics = jax.lax.scan(
+                lambda c, x: hoisted_chunk(c, x, env_params),
+                carry,
+                None,
+                length=loop_cfg.rollout_steps // K,
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+        elif K <= 1:
             carry, metrics = jax.lax.scan(
                 lambda c, x: env_and_learn_step(c, x, env_params),
                 carry,
@@ -634,6 +877,7 @@ def make_train_iteration(
             metrics = dict(metrics, **hier_metrics)
         return carry, metrics
 
+    train_iteration.hoisted = hoisted  # introspection for tests/benchmarks
     return train_iteration
 
 
