@@ -53,6 +53,13 @@ def main() -> int:
     parser.add_argument("--cem_pop", type=int, default=64)
     parser.add_argument("--cem_gens", type=int, default=25)
     parser.add_argument("--cem_horizon", type=int, default=700)
+    parser.add_argument("--reroll", type=int, default=0,
+                        help="with --cem --obs_noise>0: re-roll each "
+                             "refined controller N times with fresh noise "
+                             "and report the EXPECTED ceiling E[P(win)] — "
+                             "the single-rollout solved bit is an "
+                             "existence proof that overestimates executed "
+                             "performance (winner's curse)")
     parser.add_argument("--obs_noise", type=float, default=0.0,
                         help="model IMU noise (sigma on quat/omega) inside "
                              "the CEM scoring rollouts — 0.02 measures the "
@@ -132,7 +139,7 @@ def main() -> int:
                 mask = jnp.ones((cem_mod.THETA_DIM,), jnp.float32)
                 mask = mask.at[jnp.array([1, 4, 7, 10, 14])].set(0.0)
             t0 = time.time()
-            _, score = jax.jit(
+            theta, score = jax.jit(
                 lambda k, s, t: cem_mod.refine_per_draw(
                     k, params, s, t, ccfg, theta_mask=mask
                 )
@@ -145,6 +152,33 @@ def main() -> int:
             print(f"  [CEM refine: pop {ccfg.pop} x gens {ccfg.generations} "
                   f"x horizon {ccfg.horizon}, {time.time() - t0:.0f}s]")
             _report(suite, args, params, rp, states, ok, np)
+            if args.reroll > 0 and args.obs_noise > 0:
+                # honest EXPECTED ceiling under execution noise: the
+                # single-rollout "solved" bit is an existence statement
+                # (the search found one passing noisy rollout) that
+                # overestimates the re-roll win probability (r5 measured:
+                # robustness 13.5% solved-once vs 3.3% expected; stress
+                # 1.8% vs 0.54%). Re-roll every draw's refined controller
+                # with fresh noise keys and report E[P(win|draw)].
+                score_fn = jax.jit(
+                    lambda th, st, k: cem_mod.rollout_score(
+                        th, st, params, ccfg, key=k
+                    )
+                )
+                wins = np.zeros(n)
+                for r in range(args.reroll):
+                    s = score_fn(
+                        theta, states, jax.random.PRNGKey(args.seed + 7 + r)
+                    )
+                    wins += np.asarray(s >= 0.5 * ccfg.success_bonus)
+                p_win = wins / args.reroll
+                print(
+                    f"  honest re-rolled ceiling ({args.reroll} fresh-noise "
+                    f"re-rolls/draw): E[P(win)] = {p_win.mean():.2%}; "
+                    f"P(win|solved-once) = "
+                    f"{p_win[ok].mean() if ok.any() else 0.0:.2%}; "
+                    f"draws with P(win)>=0.5: {(p_win >= 0.5).mean():.2%}"
+                )
             continue
 
         @jax.jit
