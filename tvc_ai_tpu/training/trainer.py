@@ -492,7 +492,14 @@ class Trainer:
         cfg = self.cfg.training
         steps_per_iter = self.loop_cfg.num_envs * self.loop_cfg.rollout_steps
         eval_every = max(cfg.eval_freq // steps_per_iter, 1)
-        save_every = max(cfg.save_freq // steps_per_iter, 1)
+        # periodic-save cadence: training.save_freq, unless the reference's
+        # checkpointing.period (config.yaml:328-332 "periodic@25k") is
+        # explicitly customized — the key was previously parsed but never
+        # read (ADVICE r4: dead config implying a cadence that didn't
+        # exist); now the non-default value wins
+        period = cfg.checkpointing.period
+        save_steps = period if period != 25_000 else cfg.save_freq
+        save_every = max(save_steps // steps_per_iter, 1)
         self.logger.info(
             "training: %s total steps, %d envs x %d rollout steps/iter",
             f"{cfg.total_timesteps:,}",
