@@ -746,10 +746,6 @@ class Trainer:
                     self.curriculum.stage_idx,
                     stage.name if stage else "graduated",
                 )
-        else:
-            alert = self.curriculum.watchdog_alert()
-            if alert:
-                self.logger.warning(alert)
             # the stage-eval tiebreak distribution changes at every
             # promotion — a high tiebreak earned on an easy early
             # stage must not permanently block capturing a strictly
@@ -761,6 +757,10 @@ class Trainer:
                     self.best_nominal_key[0],
                     float("-inf"),
                 )
+        else:
+            alert = self.curriculum.watchdog_alert()
+            if alert:
+                self.logger.warning(alert)
         # secondary best-capture: when the primary metric is the
         # robust one, ALSO keep the best-nominal checkpoint (under
         # DR training the two diverge sharply, and the robust metric
